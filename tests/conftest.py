@@ -1,0 +1,24 @@
+"""Test config: force an 8-fake-device CPU platform BEFORE jax is imported.
+
+This exercises the multi-chip shard_map paths deterministically on one process
+(SURVEY.md section 4, item 4). Bench runs (bench.py) use the real TPU instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_seq(rng, n, alphabet="ACGT"):
+    return "".join(rng.choice(list(alphabet), size=n))

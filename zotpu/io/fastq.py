@@ -1,0 +1,193 @@
+"""FASTA/FASTQ input pipeline.
+
+Reference analog: zotmer/library/file.py ``openFile``/``readFasta``/``readFastq``
+(streaming generators over gzip-transparent files; unverified, reference mount
+empty -- SURVEY.md section 0).
+
+TPU-first difference: besides the per-record generators, this module provides
+**batched** parsing straight into fixed-shape ``(R, L)`` u8 code matrices --
+the host-side half of the kmerize pipeline. Parsing is numpy-vectorized
+(newline scans via ``np.where`` on the raw byte buffer, LUT encode) so the host
+can keep up with the device; a C++ fast path can replace `_split_lines` later
+without changing the interface.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from zotpu import semantics as S
+
+
+def open_file(path: str, mode: str = "rb"):
+    """Gzip-transparent open (reference analog: library/file.openFile)."""
+    if path == "-":
+        return io.BytesIO() if "w" in mode else getattr(__import__("sys"), "stdin").buffer
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def read_fasta(f) -> Iterator[tuple[str, str]]:
+    """Yield (name, sequence) from a FASTA stream."""
+    name, chunks = None, []
+    for raw in f:
+        line = raw.decode("ascii") if isinstance(raw, bytes) else raw
+        line = line.rstrip("\n")
+        if line.startswith(">"):
+            if name is not None:
+                yield name, "".join(chunks)
+            name, chunks = line[1:].split()[0] if line[1:] else "", []
+        elif line:
+            chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)
+
+
+def read_fastq(f) -> Iterator[tuple[str, str, str]]:
+    """Yield (id, sequence, quality) from a FASTQ stream."""
+    while True:
+        hdr = f.readline()
+        if not hdr:
+            return
+        if isinstance(hdr, bytes):
+            seq = f.readline(); plus = f.readline(); qual = f.readline()
+            yield (hdr.decode("ascii").rstrip("\n")[1:],
+                   seq.decode("ascii").rstrip("\n"),
+                   qual.decode("ascii").rstrip("\n"))
+        else:
+            seq = f.readline(); plus = f.readline(); qual = f.readline()
+            yield hdr.rstrip("\n")[1:], seq.rstrip("\n"), qual.rstrip("\n")
+
+
+# --- batched vectorized parsing --------------------------------------------
+
+@dataclass
+class CodeBatch:
+    """A fixed-shape batch of encoded reads for the device.
+
+    codes:   (R, L) u8, values 0..3 valid, 4 invalid/padding
+    lengths: (R,) int32 true read lengths (<= L)
+    n_reads: number of real reads (rows beyond are all-padding)
+    """
+    codes: np.ndarray
+    lengths: np.ndarray
+    n_reads: int
+
+
+def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
+    """(start, end) byte offsets of every sequence line in a raw file buffer."""
+    nl = np.where(buf == 0x0A)[0]
+    if len(nl) == 0 or nl[-1] != len(buf) - 1:
+        nl = np.append(nl, len(buf))
+    starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
+    ends = nl.astype(np.int64)
+    if fmt == "fastq":
+        return starts[1::4], ends[1::4]
+    # FASTA: sequence lines are any line not starting with '>' (multi-line
+    # records are concatenated by the caller via record ids).
+    is_seq = buf[np.minimum(starts, len(buf) - 1)] != ord(">")
+    is_seq &= starts < ends
+    return starts[is_seq], ends[is_seq]
+
+
+def parse_batches(path: str, max_reads: int, max_len: int,
+                  fmt: str | None = None) -> Iterator[CodeBatch]:
+    """Stream a FASTA/FASTQ file as fixed-shape CodeBatch-es.
+
+    Reads longer than ``max_len`` are split into chunks with a (k-1)-base halo
+    left to the caller (workloads pass max_len >= longest read for FASTQ).
+    """
+    if fmt is None:
+        fmt = sniff_format(path)
+    with open_file(path, "rb") as f:
+        data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    starts, ends = _seq_line_spans(buf, fmt)
+    if fmt == "fasta":
+        yield from _fasta_record_batches(buf, starts, ends, max_reads, max_len)
+        return
+    lengths_all = (ends - starts).astype(np.int64)
+    for lo in range(0, len(starts), max_reads):
+        st = starts[lo:lo + max_reads]
+        ln = np.minimum(lengths_all[lo:lo + max_reads], max_len)
+        r = len(st)
+        codes = np.full((max_reads, max_len), S.INVALID_CODE, dtype=np.uint8)
+        idx = st[:, None] + np.arange(max_len)[None, :]
+        idx = np.minimum(idx, len(buf) - 1)
+        gathered = S.ENCODE_LUT[buf[idx]]
+        mask = np.arange(max_len)[None, :] < ln[:, None]
+        codes[:r] = np.where(mask, gathered, S.INVALID_CODE)
+        yield CodeBatch(codes=codes, lengths=np.pad(ln.astype(np.int32), (0, max_reads - r)),
+                        n_reads=r)
+
+
+def _fasta_record_batches(buf, starts, ends, max_reads, max_len):
+    """FASTA: concatenate each record's lines, then chunk to (R, L) batches."""
+    # Record boundaries: positions where the preceding header line occurs.
+    # Reconstruct per-record sequences (records can be multi-line / genome-sized).
+    text_rows = []
+    cur = []
+    nl = np.where(buf == 0x0A)[0]
+    if len(nl) == 0 or nl[-1] != len(buf) - 1:
+        nl = np.append(nl, len(buf))
+    line_starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
+    line_ends = nl.astype(np.int64)
+    for s, e in zip(line_starts, line_ends):
+        if s >= e:
+            continue
+        if buf[s] == ord(">"):
+            if cur:
+                text_rows.append(np.concatenate(cur))
+                cur = []
+        else:
+            cur.append(buf[s:e])
+    if cur:
+        text_rows.append(np.concatenate(cur))
+    # Chunk long records into max_len rows (halo handling is the caller's job;
+    # kmerize uses overlap of k-1 via chunk_with_halo below).
+    rows, lens = [], []
+    for rec in text_rows:
+        for off in range(0, len(rec), max_len):
+            rows.append(rec[off:off + max_len])
+            lens.append(len(rows[-1]))
+    for lo in range(0, len(rows), max_reads):
+        chunk = rows[lo:lo + max_reads]
+        r = len(chunk)
+        codes = np.full((max_reads, max_len), S.INVALID_CODE, dtype=np.uint8)
+        for i, row in enumerate(chunk):
+            codes[i, :len(row)] = S.ENCODE_LUT[row]
+        yield CodeBatch(codes=codes,
+                        lengths=np.pad(np.asarray(lens[lo:lo + max_reads], np.int32),
+                                       (0, max_reads - r)),
+                        n_reads=r)
+
+
+def chunk_with_halo(seq_codes: np.ndarray, k: int, chunk_len: int) -> np.ndarray:
+    """Split one long code sequence into rows with (k-1)-base overlap so no
+    boundary k-mer is lost (SURVEY.md section 5, long-context analog)."""
+    n = len(seq_codes)
+    step = chunk_len - (k - 1)
+    rows = []
+    for off in range(0, max(n - k + 1, 1), step):
+        row = seq_codes[off:off + chunk_len]
+        if len(row) < chunk_len:
+            row = np.pad(row, (0, chunk_len - len(row)),
+                         constant_values=S.INVALID_CODE)
+        rows.append(row)
+    return np.stack(rows) if rows else np.empty((0, chunk_len), np.uint8)
+
+
+def sniff_format(path: str) -> str:
+    with open_file(path, "rb") as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError(f"cannot sniff FASTA/FASTQ format of {path!r}")
