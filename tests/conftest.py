@@ -6,10 +6,19 @@ This exercises the multi-chip shard_map paths deterministically on one process
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The host image preloads jax with JAX_PLATFORMS=axon (real TPU over a tunnel)
+# via sitecustomize; backend init is lazy, so forcing CPU here still works as
+# long as no test touched a device first. Tests MUST run on the 8-fake-device
+# CPU platform: dozens of tiny kernel compiles over the TPU tunnel take
+# 20-40s each and the suite would appear to hang.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

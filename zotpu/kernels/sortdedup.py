@@ -1,0 +1,76 @@
+"""Sort + dedup + count aggregation on device.
+
+Reference analog: zotmer kmerize's in-RAM ``buffer.sort(); dedup -> (kmer,
+count)`` step (SURVEY.md section 3.1). TPU-native shape: ``lax.sort`` over the
+(hi, lo) u32 key pair (XLA's sort is a good fit for the VPU), then
+segment-extent counting -- for the kmerize path all weights are 0/1 and invalid
+entries carry the sentinel key, so a segment's count is simply its extent
+(last_pos - first_pos + 1). No scan, no scatter-add contention.
+
+Outputs keep static shapes: capacity-N arrays, ``n_unique`` valid entries up
+front, sentinel keys / zero counts beyond (SURVEY.md section 7 "dynamic output
+sizes").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from zotpu.kernels.pack import SENT32
+
+
+def sort_by_key(hi, lo, *payload):
+    """Lexicographic sort by (hi, lo), carrying payload arrays along."""
+    return jax.lax.sort((hi, lo) + tuple(payload), num_keys=2)
+
+
+def _boundaries(hi, lo):
+    n = hi.shape[0]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1]),
+    ])
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    return first, last
+
+
+@jax.jit
+def dedup_count_sorted(hi, lo):
+    """Sorted (hi, lo) with sentinel padding -> unique keys + u32 counts.
+
+    Every non-sentinel entry counts 1 (kmerize path). Returns
+    (uhi, ulo, counts, n_unique) with capacity n; rows >= n_unique are
+    sentinel/0.
+    """
+    n = hi.shape[0]
+    first, last = _boundaries(hi, lo)
+    is_valid = ~((hi == SENT32) & (lo == SENT32))
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # Scatter first/last positions of each segment; 'drop' ignores idx==n.
+    idx_first = jnp.where(first, seg, n)
+    idx_last = jnp.where(last, seg, n)
+    fp = jnp.zeros(n, jnp.int32).at[idx_first].set(pos, mode="drop")
+    lp = jnp.zeros(n, jnp.int32).at[idx_last].set(pos, mode="drop")
+    counts = (lp - fp + 1).astype(jnp.uint32)
+    uhi = jnp.full(n, SENT32).at[idx_first].set(hi, mode="drop")
+    ulo = jnp.full(n, SENT32).at[idx_first].set(lo, mode="drop")
+    key_ok = ~((uhi == SENT32) & (ulo == SENT32))
+    counts = jnp.where(key_ok, counts, jnp.uint32(0))
+    n_unique = jnp.sum((first & is_valid).astype(jnp.int32))
+    return uhi, ulo, counts, n_unique
+
+
+@jax.jit
+def kmer_sort_dedup(hi, lo, w):
+    """Full single-chip sort+dedup: pack output -> sorted unique keys+counts."""
+    del w  # validity is already encoded as the sentinel key
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    return dedup_count_sorted(hi, lo)
+
+
+def saturating_add_u32(a, b):
+    """u32 + u32 saturating at 0xFFFFFFFF (semantics.py count policy)."""
+    s = a + b
+    return jnp.where(s < a, jnp.uint32(0xFFFFFFFF), s)
