@@ -1,0 +1,198 @@
+"""End-to-end CLI workload tests on small synthetic FASTQ (SURVEY.md §4 item 5).
+
+Covers all five BASELINE configs single-chip: kmerize, merge, set ops,
+spectrum+cutoff, pulldown — each against the golden reference.
+"""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from zotpu import cli
+from zotpu import semantics as S
+from zotpu.io import container
+from zotpu.reference_impl import golden as G
+
+
+def write_fastq(path, reads):
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+
+@pytest.fixture
+def reads(rng):
+    return ["".join(rng.choice(list("ACGTACGTN"), size=rng.integers(30, 120)))
+            for _ in range(150)]
+
+
+def run_cli(*argv):
+    return cli.main([str(a) for a in argv])
+
+
+def test_kmerize_matches_golden(tmp_path, reads, capsys):
+    fq = tmp_path / "in.fastq.gz"
+    write_fastq(str(fq), reads)
+    out = tmp_path / "out.zkf"
+    assert run_cli("kmerize", "-k", 25, "--batch-reads", 32, "--max-len", 128,
+                   out, fq) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ks = container.read(str(out))
+    want_k, want_c = G.kmerize(25, reads)
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)
+    assert stats["unique"] == len(want_k)
+    assert stats["reads"] == len(reads)
+
+
+def test_kmerize_spill_resume(tmp_path, reads):
+    from zotpu.workloads import kmerize as W
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    keys, counts = W.kmerize_paths([str(fq)], 21, batch_reads=32, max_len=128,
+                                   spill_dir=str(spill))
+    rk, rc = W.resume_from_spills(str(spill))
+    assert np.array_equal(keys, rk)
+    assert np.array_equal(counts, rc)
+
+
+def test_merge_cli(tmp_path, rng, capsys):
+    paths = []
+    sets = []
+    for i in range(3):
+        reads = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(40)]
+        keys, counts = G.kmerize(17, reads)
+        p = tmp_path / f"s{i}.zkf"
+        container.write(str(p), container.KmerSet(k=17, keys=keys, counts=counts))
+        paths.append(p)
+        sets.append((keys, counts))
+    out = tmp_path / "merged.zkf"
+    assert run_cli("merge", out, *paths) == 0
+    ks = container.read(str(out))
+    want_k, want_c = G.merge(sets)
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)
+
+
+@pytest.mark.parametrize("op,gold", [
+    ("union", G.union), ("intersect", G.intersect), ("diff", G.difference)])
+def test_setop_cli(tmp_path, rng, op, gold, capsys):
+    shared = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(10)]
+    ra = shared + ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(20)]
+    rb = shared + ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(15)]
+    a = G.kmerize(19, ra)
+    b = G.kmerize(19, rb)
+    pa, pb = tmp_path / "a.zkf", tmp_path / "b.zkf"
+    container.write(str(pa), container.KmerSet(k=19, keys=a[0], counts=a[1]))
+    container.write(str(pb), container.KmerSet(k=19, keys=b[0], counts=b[1]))
+    out = tmp_path / "o.zkf"
+    assert run_cli(op, out, pa, pb) == 0
+    ks = container.read(str(out))
+    want_k, want_c = gold(a, b)
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)
+
+
+def test_jaccard_cli(tmp_path, rng, capsys):
+    a_keys = np.unique(rng.integers(0, 4**10, 200).astype(np.uint64))
+    b_keys = np.unique(np.concatenate([a_keys[:50],
+                                       rng.integers(0, 4**10, 100).astype(np.uint64)]))
+    pa, pb = tmp_path / "a.zkf", tmp_path / "b.zkf"
+    container.write(str(pa), container.KmerSet(k=10, keys=a_keys))
+    container.write(str(pb), container.KmerSet(k=10, keys=b_keys))
+    assert run_cli("jaccard", pa, pb) == 0
+    out = json.loads(capsys.readouterr().out)
+    ni = len(np.intersect1d(a_keys, b_keys))
+    nu = len(np.union1d(a_keys, b_keys))
+    assert out["intersect"] == ni and out["union"] == nu
+    assert abs(out["jaccard"] - ni / nu) < 1e-12
+
+
+def test_hist_cli_and_cutoff(tmp_path, rng, capsys):
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(30)]
+    reads = reads * 5 + ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(40)]
+    keys, counts = G.kmerize(15, reads)
+    p = tmp_path / "x.zkf"
+    container.write(str(p), container.KmerSet(k=15, keys=keys, counts=counts))
+    assert run_cli("hist", p, "--cutoff") == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    hist_lines = [l for l in lines if "\t" in l]
+    got = {int(f): int(c) for f, c in (l.split("\t") for l in hist_lines)}
+    want = G.spectrum(counts)
+    for f, c in got.items():
+        assert want[f] == c
+    assert sum(got.values()) == len(keys)
+    cutoff = json.loads(lines[-1])
+    assert cutoff["cutoff"] == G.error_peak_cutoff(want)
+
+
+def test_scan_cli(tmp_path, rng, capsys):
+    panel_reads = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(5)]
+    panel_k, _ = G.kmerize(21, panel_reads)
+    pp = tmp_path / "panel.zkf"
+    container.write(str(pp), container.KmerSet(k=21, keys=panel_k))
+    # sample contains panel substrings and random reads
+    sample = [panel_reads[0][10:90], "".join(rng.choice(list("ACGT"), size=80))]
+    fq = tmp_path / "s.fastq"
+    write_fastq(str(fq), sample)
+    assert run_cli("scan", pp, fq, "--per-read", "--batch-reads", 8,
+                   "--max-len", 128) == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out_lines[0])
+    want = G.scan_panel(21, panel_k, sample)
+    assert summary["total_hits"] == int(want.sum())
+    per_read = [int(l.split("\t")[2]) for l in out_lines[1:]]
+    assert per_read == [int(h) for h in want]
+
+
+def test_sample_dump_info_verify(tmp_path, rng, capsys):
+    reads = ["".join(rng.choice(list("ACGT"), size=90)) for _ in range(20)]
+    keys, counts = G.kmerize(11, reads)
+    p = tmp_path / "x.zkf"
+    container.write(str(p), container.KmerSet(k=11, keys=keys, counts=counts))
+
+    out = tmp_path / "s.zkf"
+    assert run_cli("sample", "--rate", 0.5, out, p) == 0
+    ks = container.read(str(out))
+    want_k, want_c = G.sample(keys, counts, 0.5)
+    assert np.array_equal(ks.keys, want_k)
+    capsys.readouterr()
+
+    assert run_cli("dump", p) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == len(keys)
+    kmer0, c0 = lines[0].split("\t")
+    assert G.kmerize_seq(11, kmer0)[0] == keys[0] and int(c0) == counts[0]
+
+    assert run_cli("info", p) == 0
+    hdr = json.loads(capsys.readouterr().out)
+    assert hdr["k"] == 11 and hdr["n"] == len(keys)
+
+    assert run_cli("verify", p, p) == 0
+    assert json.loads(capsys.readouterr().out)["equal"] is True
+    p2 = tmp_path / "y.zkf"
+    container.write(str(p2), container.KmerSet(k=11, keys=keys[:-1],
+                                               counts=counts[:-1]))
+    assert run_cli("verify", p, p2) == 1
+
+
+def test_kmerize_fasta_long_record(tmp_path, capsys):
+    rng = np.random.default_rng(8)
+    genome = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">genome\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i:i + 70] + "\n")
+    out = tmp_path / "g.zkf"
+    assert run_cli("kmerize", "-k", 25, "--batch-reads", 16, "--max-len", 256,
+                   out, fa) == 0
+    ks = container.read(str(out))
+    want_k, want_c = G.kmerize(25, [genome])
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)

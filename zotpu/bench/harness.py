@@ -1,0 +1,94 @@
+"""Performance harness (SURVEY.md section 7 step 7).
+
+Measures the BASELINE metrics on whatever platform jax selected (real TPU in
+driver runs, CPU in tests): kmerize bases/s and k-mers/s/chip, sorted-set-op
+GB/s. Timers bracket ``block_until_ready`` after a warmup/compile step.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zotpu.kernels import pack, setops, sortdedup
+
+
+def _synth_codes(rng, reads, length):
+    return rng.integers(0, 4, size=(reads, length), endpoint=False).astype(np.uint8)
+
+
+def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
+                  repeats: int = 3) -> dict:
+    rng = np.random.default_rng(0)
+    reads = max(total_bases // read_len, 1)
+    codes = jnp.asarray(_synth_codes(rng, reads, read_len))
+    lengths = jnp.full(reads, read_len, jnp.int32)
+
+    @jax.jit
+    def step(c, l):
+        hi, lo, w = pack.pack_canonical(c, l, k)
+        return sortdedup.kmer_sort_dedup(hi, lo, w)
+
+    out = step(codes, lengths)
+    jax.block_until_ready(out)  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(codes, lengths))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    bases = reads * read_len
+    kmers = reads * (read_len - k + 1)
+    return {
+        "workload": "kmerize", "k": k, "bases": bases,
+        "seconds": dt,
+        "bases_per_s": bases / dt,
+        "kmers_per_s": kmers / dt,
+    }
+
+
+def bench_setops(n: int = 1 << 22, repeats: int = 3) -> dict:
+    rng = np.random.default_rng(1)
+    def mk(seed):
+        keys = np.sort(rng.integers(0, 1 << 50, size=n).astype(np.uint64))
+        keys = np.unique(keys)
+        hi = np.full(n, 0xFFFFFFFF, np.uint32)
+        lo = np.full(n, 0xFFFFFFFF, np.uint32)
+        c = np.zeros(n, np.uint32)
+        hi[:len(keys)] = (keys >> np.uint64(32)).astype(np.uint32)
+        lo[:len(keys)] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        c[:len(keys)] = 1
+        return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c)
+
+    ahi, alo, ac = mk(0)
+    bhi, blo, bc = mk(1)
+    out = setops.set_op(ahi, alo, ac, bhi, blo, bc, op="merge")
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(setops.set_op(ahi, alo, ac, bhi, blo, bc, op="merge"))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    bytes_moved = 2 * n * 12  # two inputs of (hi,lo,count) u32 triples
+    return {
+        "workload": "setops_merge", "n": 2 * n, "seconds": dt,
+        "gb_per_s": bytes_moved / dt / 1e9,
+        "keys_per_s": 2 * n / dt,
+    }
+
+
+def run(args) -> int:
+    results = []
+    if args.workload in ("kmerize", "all"):
+        results.append(bench_kmerize(args.bases, k=args.k, repeats=args.repeats))
+    if args.workload in ("setops", "all"):
+        results.append(bench_setops(repeats=args.repeats))
+    for r in results:
+        r["device"] = str(jax.devices()[0])
+        print(json.dumps(r))
+    return 0

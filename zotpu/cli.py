@@ -1,0 +1,339 @@
+"""`zot`-style command-line interface.
+
+Reference analog: zotmer's dispatcher `zot <command> [args...]`
+(SURVEY.md section 1 L5) with one function per subcommand (L4). Commands:
+
+    kmerize   FASTA/FASTQ -> ZKF k-mer set + counts        (BASELINE config 1)
+    merge     N ZKF files -> one, counts summed            (BASELINE config 2)
+    union/intersect/diff  set algebra between two sets     (BASELINE config 3)
+    jaccard   similarity from psum-able cardinalities
+    hist      frequency spectrum (+ error-peak cutoff)     (BASELINE config 4)
+    scan      panel pulldown over read sets                (BASELINE config 5)
+    sample    deterministic hash-threshold downsampling
+    dump/info print set contents / container metadata
+    verify    compare two sets, report first divergence    (SURVEY.md section 4 item 6)
+    bench     performance harness (bench/harness.py)
+
+All compute paths run the device kernels; `--host` falls back to the golden
+numpy reference implementation (the equality oracle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from zotpu import semantics as S
+from zotpu.io import container
+from zotpu.reference_impl import golden as G
+
+
+def _load_padded(path: str):
+    ks = container.read(path)
+    counts = ks.counts if ks.counts is not None else np.ones(ks.n, S.COUNT_DTYPE)
+    return ks, counts
+
+
+def _pad_pow2(keys, counts):
+    n = len(keys)
+    cap = max(1 << (max(n, 1) - 1).bit_length(), 8)
+    hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+    lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+    c = np.zeros(cap, np.uint32)
+    hi[:n], lo[:n] = S.split_hi_lo(keys)
+    c[:n] = counts
+    return hi, lo, c
+
+
+def cmd_kmerize(args):
+    from zotpu.workloads import kmerize as W
+    stats = W.Stats()
+    if args.host:
+        seqs = _read_all_seqs(args.inputs)
+        keys, counts = G.kmerize(args.k, seqs)
+        stats.reads = len(seqs)
+        stats.bases = sum(len(s) for s in seqs)
+        stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
+        stats.unique = len(keys)
+    else:
+        keys, counts = W.kmerize_paths(
+            args.inputs, args.k, batch_reads=args.batch_reads,
+            max_len=args.max_len, spill_dir=args.spill_dir, stats=stats)
+    container.write(args.output, container.KmerSet(
+        k=args.k, keys=keys, counts=counts,
+        meta={"tool": "zotpu kmerize", "inputs": args.inputs,
+              "stats": stats.as_dict()}))
+    print(json.dumps({"command": "kmerize", **stats.as_dict()}))
+    return 0
+
+
+def _read_all_seqs(paths):
+    from zotpu.io import fastq
+    seqs = []
+    for p in paths:
+        fmt = fastq.sniff_format(p)
+        with fastq.open_file(p) as f:
+            if fmt == "fastq":
+                seqs.extend(s for _, s, _ in fastq.read_fastq(f))
+            else:
+                seqs.extend(s for _, s in fastq.read_fasta(f))
+    return seqs
+
+
+def cmd_merge(args):
+    sets = []
+    k = None
+    for p in args.inputs:
+        ks, counts = _load_padded(p)
+        if k is None:
+            k = ks.k
+        elif ks.k != k:
+            print(f"error: K mismatch: {p} has k={ks.k}, expected {k}", file=sys.stderr)
+            return 1
+        sets.append((ks.keys, counts))
+    from zotpu.workloads.kmerize import merge_runs
+    keys, counts = merge_runs(sets)
+    container.write(args.output, container.KmerSet(
+        k=k, keys=keys, counts=counts, meta={"tool": "zotpu merge"}))
+    print(json.dumps({"command": "merge", "inputs": len(sets), "unique": len(keys)}))
+    return 0
+
+
+def _binary_setop(args, op):
+    a, ca = _load_padded(args.a)
+    b, cb = _load_padded(args.b)
+    if a.k != b.k:
+        print(f"error: K mismatch ({a.k} vs {b.k})", file=sys.stderr)
+        return 1
+    if args.host:
+        gold = {"union": G.union, "intersect": G.intersect, "diff": G.difference}[op]
+        keys, counts = gold((a.keys, ca), (b.keys, cb))
+    else:
+        from zotpu.kernels import setops
+        ahi, alo, ac = _pad_pow2(a.keys, ca)
+        bhi, blo, bc = _pad_pow2(b.keys, cb)
+        hi, lo, c, n = setops.set_op(ahi, alo, ac, bhi, blo, bc, op=op)
+        n = int(n)
+        keys = S.join_hi_lo(np.asarray(hi[:n]), np.asarray(lo[:n]))
+        counts = np.asarray(c[:n])
+    container.write(args.output, container.KmerSet(
+        k=a.k, keys=keys, counts=counts, meta={"tool": f"zotpu {op}"}))
+    print(json.dumps({"command": op, "unique": len(keys)}))
+    return 0
+
+
+def cmd_jaccard(args):
+    a, _ = _load_padded(args.a)
+    b, _ = _load_padded(args.b)
+    if args.host:
+        ni = len(np.intersect1d(a.keys, b.keys))
+        nu = len(np.union1d(a.keys, b.keys))
+        na, nb = a.n, b.n
+    else:
+        from zotpu.kernels import setops
+        ahi, alo, ac = _pad_pow2(a.keys, np.ones(a.n, np.uint32))
+        bhi, blo, bc = _pad_pow2(b.keys, np.ones(b.n, np.uint32))
+        na, nb, ni, nu = (int(x) for x in setops.cardinalities(ahi, alo, bhi, blo))
+    j = ni / nu if nu else 0.0
+    print(json.dumps({"command": "jaccard", "a": int(na), "b": int(nb),
+                      "intersect": int(ni), "union": int(nu), "jaccard": j}))
+    return 0
+
+
+def cmd_hist(args):
+    ks, counts = _load_padded(args.input)
+    if args.host:
+        h = G.spectrum(counts, max_count=args.max_count)
+    else:
+        from zotpu.kernels import hist as khist
+        padded = np.zeros(max(len(counts), 8), np.uint32)
+        padded[:len(counts)] = counts
+        h = np.asarray(khist.spectrum(padded, max_count=args.max_count))
+    for freq in range(1, len(h)):
+        if h[freq]:
+            print(f"{freq}\t{int(h[freq])}")
+    if args.cutoff:
+        print(json.dumps({"command": "hist", "cutoff": int(G.error_peak_cutoff(h))}))
+    return 0
+
+
+def cmd_scan(args):
+    panel, _ = _load_padded(args.panel)
+    from zotpu.workloads import pulldown
+    if args.host:
+        results = []
+        for p in args.samples:
+            seqs = _read_all_seqs([p])
+            hits = G.scan_panel(panel.k, panel.keys, seqs)
+            results.append((int(hits.sum()), int((hits > 0).sum()),
+                            [int(h) for h in hits]))
+    else:
+        results = pulldown.pulldown_paths(
+            panel.keys, args.samples, panel.k,
+            batch_reads=args.batch_reads, max_len=args.max_len)
+    for path, (total, reads_hit, per_read) in zip(args.samples, results):
+        print(json.dumps({"command": "scan", "sample": path, "k": panel.k,
+                          "total_hits": total, "reads_with_hits": reads_hit}))
+        if args.per_read:
+            for i, h in enumerate(per_read):
+                print(f"{path}\t{i}\t{h}")
+    return 0
+
+
+def cmd_sample(args):
+    ks, counts = _load_padded(args.input)
+    keys, cnts = G.sample(ks.keys, counts, args.rate, seed=args.seed)
+    container.write(args.output, container.KmerSet(
+        k=ks.k, keys=keys, counts=cnts,
+        meta={"tool": "zotpu sample", "rate": args.rate, "seed": args.seed}))
+    print(json.dumps({"command": "sample", "kept": len(keys), "of": ks.n}))
+    return 0
+
+
+def cmd_dump(args):
+    ks, counts = _load_padded(args.input)
+    for key, c in zip(ks.keys, counts):
+        print(f"{G.decode_kmer(ks.k, int(key))}\t{int(c)}")
+    return 0
+
+
+def cmd_info(args):
+    for p in args.inputs:
+        hdr = container.read_header(p)
+        print(json.dumps({"file": p, **hdr}))
+    return 0
+
+
+def cmd_verify(args):
+    a, ca = _load_padded(args.a)
+    b, cb = _load_padded(args.b)
+    if a.k != b.k:
+        print(json.dumps({"equal": False, "reason": f"k {a.k} != {b.k}"}))
+        return 1
+    n = min(a.n, b.n)
+    kdiff = np.nonzero(a.keys[:n] != b.keys[:n])[0]
+    cdiff = np.nonzero(ca[:n] != cb[:n])[0]
+    first = min(
+        int(kdiff[0]) if len(kdiff) else n if a.n != b.n else -1,
+        int(cdiff[0]) if len(cdiff) else n if a.n != b.n else -1,
+        key=lambda x: x if x >= 0 else 1 << 62)
+    if first == -1:
+        print(json.dumps({"equal": True, "n": int(a.n)}))
+        return 0
+    print(json.dumps({"equal": False, "first_divergence": int(first),
+                      "n_a": int(a.n), "n_b": int(b.n)}))
+    return 1
+
+
+def cmd_bench(args):
+    from zotpu.bench import harness
+    return harness.run(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="zotpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, host=True, batch=False):
+        if host:
+            sp.add_argument("--host", action="store_true",
+                            help="use the golden numpy path instead of device kernels")
+        if batch:
+            sp.add_argument("--batch-reads", type=int, default=4096)
+            sp.add_argument("--max-len", type=int, default=256)
+
+    sp = sub.add_parser("kmerize", help="FASTA/FASTQ -> k-mer set with counts")
+    sp.add_argument("-k", type=int, required=True, dest="k")
+    sp.add_argument("--spill-dir", default=None,
+                    help="write per-batch sorted runs here (restartable)")
+    sp.add_argument("output")
+    sp.add_argument("inputs", nargs="+")
+    common(sp, batch=True)
+    sp.set_defaults(fn=cmd_kmerize)
+
+    sp = sub.add_parser("merge", help="merge N sets, summing counts")
+    sp.add_argument("output")
+    sp.add_argument("inputs", nargs="+")
+    sp.set_defaults(fn=cmd_merge)
+
+    for op in ("union", "intersect", "diff"):
+        sp = sub.add_parser(op, help=f"{op} of two sets")
+        sp.add_argument("output")
+        sp.add_argument("a")
+        sp.add_argument("b")
+        common(sp)
+        sp.set_defaults(fn=lambda a, _op=op: _binary_setop(a, _op))
+
+    sp = sub.add_parser("jaccard", help="similarity of two sets")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    common(sp)
+    sp.set_defaults(fn=cmd_jaccard)
+
+    sp = sub.add_parser("hist", help="k-mer frequency spectrum")
+    sp.add_argument("input")
+    sp.add_argument("--max-count", type=int, default=1024)
+    sp.add_argument("--cutoff", action="store_true",
+                    help="also print the error-peak cutoff")
+    common(sp)
+    sp.set_defaults(fn=cmd_hist)
+
+    sp = sub.add_parser("scan", help="panel pulldown over read sets")
+    sp.add_argument("panel")
+    sp.add_argument("samples", nargs="+")
+    sp.add_argument("--per-read", action="store_true")
+    common(sp, batch=True)
+    sp.set_defaults(fn=cmd_scan)
+
+    sp = sub.add_parser("sample", help="hash-threshold downsample")
+    sp.add_argument("--rate", type=float, required=True)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("output")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("dump", help="print k-mers and counts as text")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_dump)
+
+    sp = sub.add_parser("info", help="print container metadata")
+    sp.add_argument("inputs", nargs="+")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("verify", help="compare two sets byte-for-byte")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("bench", help="performance harness")
+    sp.add_argument("--workload", default="kmerize",
+                    choices=["kmerize", "setops", "all"])
+    sp.add_argument("--bases", type=int, default=1 << 26)
+    sp.add_argument("--k", type=int, default=25)
+    sp.add_argument("--repeats", type=int, default=3)
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # downstream consumer (e.g. `zotpu dump | head`) closed the pipe
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

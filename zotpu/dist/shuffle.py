@@ -1,0 +1,186 @@
+"""Hash-space-sharded distributed kmerize / pulldown (shard_map + all_to_all).
+
+Reference analog: none -- this is the scale-out layer BASELINE requires
+(SURVEY.md section 2b). Design (SURVEY.md section 7 step 5):
+
+- One mesh axis ``shards`` over all chips. Each chip owns a contiguous range
+  of the 2k-bit key space selected by the top ``p = log2(D)`` key bits
+  (key-prefix sharding, NOT mixed-hash: concatenated per-shard sorted runs are
+  then already globally sorted, and single-chip output is shard-count
+  invariant).
+- Every chip packs its local read slice (fused pack kernel), sorts it --
+  because the owner is a key prefix, sorting by key also groups by owner --
+  and scatters entries into fixed-capacity per-destination buckets.
+- ``lax.all_to_all`` routes the buckets (XLA lowers onto ICI/DCN); receivers
+  sort + dedup their shard into a sorted (key, count) run.
+- Variable per-destination volume is handled with static capacity + overflow
+  counters (psum'd for monitoring); capacity_factor sizes the slack
+  (SURVEY.md section 7 "hard parts": GC-content skew can exceed 2x -- monitor
+  the overflow stat and raise the factor or switch to mixed-hash sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from zotpu import semantics as S
+from zotpu.dist.mesh import AXIS, shard_bits
+from zotpu.kernels.pack import SENT32, pack_canonical
+from zotpu.kernels.sortdedup import dedup_count_sorted
+
+
+def _owner_of(hi, lo, k: int, p: int, n_shards: int):
+    """Top p bits of the 2k-bit key -> owner shard id (int32).
+
+    Sentinel keys clamp to the last shard (they carry no weight).
+    """
+    shift = 2 * k - p
+    if p == 0:
+        return jnp.zeros(hi.shape, jnp.int32)
+    if shift >= 32:
+        own = (hi >> jnp.uint32(shift - 32)).astype(jnp.int32)
+    else:
+        own = (((hi << jnp.uint32(32 - shift)) | (lo >> jnp.uint32(shift)))
+               & jnp.uint32((1 << p) - 1)).astype(jnp.int32)
+    return jnp.minimum(own, n_shards - 1)
+
+
+def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=()):
+    """Owner-route sorted-by-key entries into (D, C) buckets + all_to_all.
+
+    Returns received (hi, lo, *payload) flattened to (D*C,) plus the local
+    overflow count. Inputs MUST be sorted by (hi, lo); sentinel = invalid.
+    """
+    p = shard_bits(n_shards)
+    m = hi.shape[0]
+    owner = _owner_of(hi, lo, k, p, n_shards)
+    valid = ~((hi == SENT32) & (lo == SENT32))
+    # owner is non-decreasing (key prefix on sorted keys; sentinels clamp to
+    # the last shard), so bucket fill positions are index - bucket_start.
+    starts = jnp.searchsorted(owner, jnp.arange(n_shards, dtype=jnp.int32))
+    pos = jnp.arange(m, dtype=jnp.int32) - starts[owner]
+    ok = valid & (pos < capacity)
+    idx = jnp.where(ok, owner * capacity + pos, n_shards * capacity)
+    overflow = jnp.sum(valid.astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
+
+    def scatter(x, fill):
+        buf = jnp.full(n_shards * capacity, fill, x.dtype).at[idx].set(x, mode="drop")
+        return buf.reshape(n_shards, capacity)
+
+    send = [scatter(hi, SENT32), scatter(lo, SENT32)]
+    send += [scatter(x, jnp.zeros((), x.dtype)) for x in payload]
+    recv = [jax.lax.all_to_all(b, AXIS, split_axis=0, concat_axis=0, tiled=True)
+            .reshape(-1) for b in send]
+    return recv, overflow
+
+
+def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
+                      capacity_factor: float = 2.0):
+    """Build the jitted multi-chip kmerize step.
+
+    Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
+    Output (global, sharded by shard): per-shard unique keys hi/lo (D, cap_out),
+    counts (D, cap_out), n_unique (D,), overflow (D,) -- concatenating the
+    valid prefixes of the shard rows yields the globally sorted set.
+    """
+    S.check_k(k)
+    D = mesh.devices.size
+    m_local = reads_per_chip * (read_len - k + 1)
+    cap = int(np.ceil(m_local * capacity_factor / D))
+    cap_out = D * cap
+
+    def local_step(codes, lengths):
+        hi, lo, w = pack_canonical(codes, lengths, k)
+        hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+        (rhi, rlo), overflow = _route(hi, lo, k, D, cap)
+        rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
+        uhi, ulo, counts, n = dedup_count_sorted(rhi, rlo)
+        return (uhi[None], ulo[None], counts[None],
+                n[None].astype(jnp.int32), overflow[None])
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
+        check_rep=False)
+    return jax.jit(fn), cap_out
+
+
+def gather_global(uhi, ulo, counts, n_unique):
+    """Host-side: concatenate per-shard valid prefixes -> sorted u64 keys+counts."""
+    keys_out, cnt_out = [], []
+    uhi, ulo = np.asarray(uhi), np.asarray(ulo)
+    counts, n_unique = np.asarray(counts), np.asarray(n_unique)
+    for d in range(uhi.shape[0]):
+        n = int(n_unique[d])
+        keys_out.append(S.join_hi_lo(uhi[d, :n], ulo[d, :n]))
+        cnt_out.append(counts[d, :n].astype(S.COUNT_DTYPE))
+    keys = np.concatenate(keys_out) if keys_out else np.empty(0, np.uint64)
+    cnts = np.concatenate(cnt_out) if cnt_out else np.empty(0, S.COUNT_DTYPE)
+    return keys, cnts
+
+
+def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
+                       n_samples: int, panel_cap: int,
+                       capacity_factor: float = 2.0):
+    """Multi-chip panel pulldown (BASELINE config 5).
+
+    The panel is sharded by the same key prefix as kmerize: shard d holds the
+    panel keys whose owner is d (sentinel-padded to panel_cap). Read k-mers are
+    routed to their owner shard carrying their sample id; each shard probes its
+    panel range via the two-word binary search; per-sample hit counts are
+    psum'd across shards.
+
+    Input (global): codes (D*R, L), lengths (D*R,), sample_ids (D*R,) int32,
+    panel_hi/lo (D, panel_cap). Output: hits (n_samples,) int32 (replicated),
+    overflow (D,).
+    """
+    from zotpu.kernels.search import member2
+
+    S.check_k(k)
+    D = mesh.devices.size
+    m_per_read = read_len - k + 1
+    m_local = reads_per_chip * m_per_read
+    cap = int(np.ceil(m_local * capacity_factor / D))
+
+    def local_step(codes, lengths, sample_ids, phi, plo):
+        phi, plo = phi[0], plo[0]
+        hi, lo, w = pack_canonical(codes, lengths, k)
+        sid = jnp.repeat(sample_ids.astype(jnp.uint32), m_per_read)
+        hi, lo, sid = jax.lax.sort((hi, lo, sid), num_keys=2)
+        (rhi, rlo, rsid), overflow = _route(hi, lo, k, D, cap, payload=(sid,))
+        hit = member2(phi, plo, rhi, rlo)
+        hits = jnp.zeros(n_samples, jnp.int32).at[rsid.astype(jnp.int32)].add(
+            hit.astype(jnp.int32), mode="drop")
+        hits = jax.lax.psum(hits, AXIS)
+        return hits[None], overflow[None]
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS)),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+def partition_panel(panel_keys: np.ndarray, k: int, n_shards: int,
+                    panel_cap: int | None = None):
+    """Host-side: split a sorted panel into per-shard sentinel-padded rows."""
+    owners = S.shard_of_u64(k, shard_bits(n_shards), panel_keys)
+    bounds = np.searchsorted(owners, np.arange(n_shards + 1))
+    sizes = np.diff(bounds)
+    cap = panel_cap or max(int(sizes.max()) if len(sizes) else 1, 8)
+    phi = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
+    plo = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
+    for d in range(n_shards):
+        seg = panel_keys[bounds[d]:bounds[d + 1]]
+        if len(seg) > cap:
+            raise ValueError(f"panel shard {d} ({len(seg)}) exceeds capacity {cap}")
+        phi[d, :len(seg)], plo[d, :len(seg)] = S.split_hi_lo(seg)
+    return phi, plo, cap

@@ -97,11 +97,12 @@ def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def parse_batches(path: str, max_reads: int, max_len: int,
-                  fmt: str | None = None) -> Iterator[CodeBatch]:
+                  fmt: str | None = None, halo: int = 0) -> Iterator[CodeBatch]:
     """Stream a FASTA/FASTQ file as fixed-shape CodeBatch-es.
 
-    Reads longer than ``max_len`` are split into chunks with a (k-1)-base halo
-    left to the caller (workloads pass max_len >= longest read for FASTQ).
+    Sequences longer than ``max_len`` are split into ``max_len`` rows that
+    overlap by ``halo`` bases (workloads pass halo=k-1) so no boundary k-mer is
+    lost and no k-mer start position is duplicated.
     """
     if fmt is None:
         fmt = sniff_format(path)
@@ -110,9 +111,21 @@ def parse_batches(path: str, max_reads: int, max_len: int,
     buf = np.frombuffer(data, dtype=np.uint8)
     starts, ends = _seq_line_spans(buf, fmt)
     if fmt == "fasta":
-        yield from _fasta_record_batches(buf, starts, ends, max_reads, max_len)
+        yield from _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo)
         return
     lengths_all = (ends - starts).astype(np.int64)
+    if len(lengths_all) and int(lengths_all.max()) > max_len:
+        # Rare overlong-read fallback: halo-chunk every read (slow path).
+        rows = []
+        for s, e in zip(starts, ends):
+            rec = S.ENCODE_LUT[buf[s:e]]
+            if len(rec) <= max_len:
+                rows.append(np.pad(rec, (0, max_len - len(rec)),
+                                   constant_values=S.INVALID_CODE))
+            else:
+                rows.extend(chunk_with_halo(rec, halo + 1, max_len))
+        yield from _rows_to_batches(rows, max_reads, max_len)
+        return
     for lo in range(0, len(starts), max_reads):
         st = starts[lo:lo + max_reads]
         ln = np.minimum(lengths_all[lo:lo + max_reads], max_len)
@@ -127,10 +140,9 @@ def parse_batches(path: str, max_reads: int, max_len: int,
                         n_reads=r)
 
 
-def _fasta_record_batches(buf, starts, ends, max_reads, max_len):
-    """FASTA: concatenate each record's lines, then chunk to (R, L) batches."""
-    # Record boundaries: positions where the preceding header line occurs.
-    # Reconstruct per-record sequences (records can be multi-line / genome-sized).
+def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
+    """FASTA: concatenate each record's lines, then halo-chunk to (R, L) rows."""
+    # Reconstruct per-record sequences (records can be multi-line/genome-sized).
     text_rows = []
     cur = []
     nl = np.where(buf == 0x0A)[0]
@@ -149,22 +161,30 @@ def _fasta_record_batches(buf, starts, ends, max_reads, max_len):
             cur.append(buf[s:e])
     if cur:
         text_rows.append(np.concatenate(cur))
-    # Chunk long records into max_len rows (halo handling is the caller's job;
-    # kmerize uses overlap of k-1 via chunk_with_halo below).
-    rows, lens = [], []
+    rows = []
     for rec in text_rows:
-        for off in range(0, len(rec), max_len):
-            rows.append(rec[off:off + max_len])
-            lens.append(len(rows[-1]))
+        codes = S.ENCODE_LUT[rec]
+        if len(codes) <= max_len:
+            rows.append(np.pad(codes, (0, max_len - len(codes)),
+                               constant_values=S.INVALID_CODE))
+        else:
+            rows.extend(chunk_with_halo(codes, halo + 1, max_len))
+    yield from _rows_to_batches(rows, max_reads, max_len)
+
+
+def _rows_to_batches(rows, max_reads, max_len):
+    """Pre-encoded, pre-padded code rows -> CodeBatch stream.
+
+    Padding is INVALID_CODE, which already invalidates every window touching
+    it, so lengths can be uniformly max_len."""
     for lo in range(0, len(rows), max_reads):
         chunk = rows[lo:lo + max_reads]
         r = len(chunk)
         codes = np.full((max_reads, max_len), S.INVALID_CODE, dtype=np.uint8)
-        for i, row in enumerate(chunk):
-            codes[i, :len(row)] = S.ENCODE_LUT[row]
+        if r:
+            codes[:r] = np.stack(chunk)
         yield CodeBatch(codes=codes,
-                        lengths=np.pad(np.asarray(lens[lo:lo + max_reads], np.int32),
-                                       (0, max_reads - r)),
+                        lengths=np.full(max_reads, max_len, np.int32),
                         n_reads=r)
 
 

@@ -1,0 +1,93 @@
+"""kmerize workload: FASTQ/FASTA -> sorted canonical k-mer set + counts.
+
+Reference analog: zotmer/commands/kmerize.py (SURVEY.md section 3.1): stream
+reads, emit canonical k-mers, sort+dedup+count with memory-bounded batching and
+a final merge of per-batch sorted runs (external-sort structure).
+
+TPU-native shape (BASELINE config 1): the host parses fixed-shape code batches
+(numpy-vectorized) and double-buffers them to the device; the device runs the
+fused pack->sort->dedup program per batch; per-batch sorted runs are merged in
+a tree. Per-batch runs can be spilled as ZKF files (the checkpoint/resume
+story, SURVEY.md section 5: a crashed run resumes from completed runs + merge).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from zotpu import semantics as S
+from zotpu.io import container, fastq
+from zotpu.kernels import pack, sortdedup
+from zotpu.reference_impl import golden as G
+
+
+@dataclasses.dataclass
+class Stats:
+    reads: int = 0
+    bases: int = 0
+    kmers: int = 0
+    batches: int = 0
+    unique: int = 0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def _device_batch(codes, lengths, k):
+    hi, lo, w = pack.pack_canonical(codes, lengths, k)
+    return sortdedup.kmer_sort_dedup(hi, lo, w)
+
+
+def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """Tree-merge sorted (keys, counts) runs, summing counts (saturating)."""
+    if not runs:
+        return np.empty(0, np.uint64), np.empty(0, S.COUNT_DTYPE)
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            nxt.append(G.merge([runs[i], runs[i + 1]]))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0]
+
+
+def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
+                  max_len: int = 256, spill_dir: str | None = None,
+                  stats: Stats | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Kmerize files into one sorted unique (keys u64, counts u32) pair."""
+    S.check_k(k)
+    stats = stats if stats is not None else Stats()
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
+    for path in paths:
+        for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
+            uhi, ulo, counts, n = _device_batch(batch.codes, batch.lengths, k)
+            n = int(n)
+            keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
+            cnts = np.asarray(counts[:n])
+            stats.batches += 1
+            stats.reads += batch.n_reads
+            stats.bases += int(batch.lengths[:batch.n_reads].sum())
+            stats.kmers += int(cnts.sum(dtype=np.uint64))
+            if spill_dir is not None:
+                run_path = os.path.join(spill_dir, f"run{stats.batches:06d}.zkf")
+                container.write(run_path, container.KmerSet(
+                    k=k, keys=keys, counts=cnts, meta={"run": stats.batches}))
+            runs.append((keys, cnts))
+    keys, counts = merge_runs(runs)
+    stats.unique = len(keys)
+    return keys, counts
+
+
+def resume_from_spills(spill_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Rebuild the merged set from previously written per-batch runs."""
+    runs = []
+    for name in sorted(os.listdir(spill_dir)):
+        if name.endswith(".zkf"):
+            ks = container.read(os.path.join(spill_dir, name))
+            runs.append((ks.keys, ks.counts))
+    return merge_runs(runs)
