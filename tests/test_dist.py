@@ -1,0 +1,137 @@
+"""Multi-chip shard_map tests on the 8-fake-CPU-device mesh (SURVEY.md §4 item 4).
+
+Exercises the all-to-all key-prefix routing, shard ownership, overflow
+accounting, and the sharded pulldown — all byte-equal to the golden reference.
+"""
+
+import numpy as np
+import pytest
+
+from zotpu import semantics as S
+from zotpu.dist import mesh as M
+from zotpu.dist import shuffle
+from zotpu.reference_impl import golden as G
+from tests.test_kernels import make_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return M.make_mesh(8)
+
+
+def test_distributed_kmerize_matches_golden(mesh8):
+    k = 25
+    D = 8
+    reads_per_chip, read_len = 16, 100
+    rng = np.random.default_rng(77)
+    seqs, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
+                                      min_len=read_len)
+    step, cap_out = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                              capacity_factor=4.0)
+    uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+    uhi = np.asarray(uhi).reshape(D, -1)
+    ulo = np.asarray(ulo).reshape(D, -1)
+    counts = np.asarray(counts).reshape(D, -1)
+    assert np.all(np.asarray(overflow) == 0)
+    keys, cnts = shuffle.gather_global(uhi, ulo, counts, np.asarray(n_unique))
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(cnts, want_c)
+    # shard ownership: every key in shard d has owner d
+    p = M.shard_bits(D)
+    off = 0
+    for d in range(D):
+        n = int(np.asarray(n_unique)[d])
+        owners = S.shard_of_u64(k, p, keys[off:off + n])
+        assert np.all(owners == d)
+        off += n
+
+
+def test_distributed_kmerize_with_invalid_bases(mesh8):
+    """Ns and short reads: weight-0 entries must not pollute any shard."""
+    k = 15
+    D = 8
+    reads_per_chip, read_len = 8, 60
+    rng = np.random.default_rng(3)
+    seqs, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
+                                      alphabet="ACGTN")
+    step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                        capacity_factor=8.0)
+    uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+    assert np.all(np.asarray(overflow) == 0)
+    keys, cnts = shuffle.gather_global(
+        np.asarray(uhi).reshape(D, -1), np.asarray(ulo).reshape(D, -1),
+        np.asarray(counts).reshape(D, -1), np.asarray(n_unique))
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(cnts, want_c)
+
+
+def test_overflow_counter_reports_drops(mesh8):
+    """Tiny capacity must overflow and report it rather than crash."""
+    k = 11
+    D = 8
+    reads_per_chip, read_len = 16, 80
+    rng = np.random.default_rng(5)
+    _, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
+                                   alphabet="ACGT", min_len=read_len)
+    step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                        capacity_factor=0.05)
+    *_, overflow = step(codes, lengths)
+    assert int(np.asarray(overflow).sum()) > 0
+
+
+def test_distributed_pulldown_matches_golden(mesh8):
+    k = 21
+    D = 8
+    reads_per_chip, read_len = 8, 90
+    n_samples = 4
+    rng = np.random.default_rng(11)
+    panel_src = ["".join(rng.choice(list("ACGT"), size=400))]
+    panel_keys, _ = G.kmerize(k, panel_src)
+
+    R = D * reads_per_chip
+    seqs = []
+    for i in range(R):
+        if i % 3 == 0:
+            off = rng.integers(0, 400 - read_len)
+            seqs.append(panel_src[0][off:off + read_len])
+        else:
+            seqs.append("".join(rng.choice(list("ACGT"), size=read_len)))
+    codes = np.stack([G.encode(s) for s in seqs])
+    lengths = np.full(R, read_len, np.int32)
+    sample_ids = (np.arange(R) % n_samples).astype(np.int32)
+
+    phi, plo, cap = shuffle.partition_panel(panel_keys, k, D)
+    step = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
+                                      n_samples, cap, capacity_factor=8.0)
+    hits, overflow = step(codes, lengths, sample_ids, phi, plo)
+    assert np.all(np.asarray(overflow) == 0)
+    hits = np.asarray(hits).reshape(D, n_samples)[0]
+
+    want = np.zeros(n_samples, np.int64)
+    per_read = G.scan_panel(k, panel_keys, seqs)
+    for i in range(R):
+        want[sample_ids[i]] += per_read[i]
+    assert np.array_equal(hits, want)
+
+
+def test_shard_count_invariance(mesh8):
+    """Output must be identical across 1, 2, 4, 8 shards (key-prefix policy)."""
+    k = 17
+    read_len = 64
+    rng = np.random.default_rng(21)
+    R = 32
+    seqs, codes, lengths = make_batch(rng, R, read_len, alphabet="ACGT",
+                                      min_len=read_len)
+    want_k, want_c = G.kmerize(k, seqs)
+    for D in (1, 2, 4, 8):
+        mesh = M.make_mesh(D)
+        step, _ = shuffle.make_kmerize_step(mesh, k, R // D, read_len,
+                                            capacity_factor=6.0)
+        uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+        keys, cnts = shuffle.gather_global(
+            np.asarray(uhi).reshape(D, -1), np.asarray(ulo).reshape(D, -1),
+            np.asarray(counts).reshape(D, -1), np.asarray(n_unique))
+        assert np.array_equal(keys, want_k), f"D={D}"
+        assert np.array_equal(cnts, want_c), f"D={D}"

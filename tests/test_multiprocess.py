@@ -1,0 +1,71 @@
+"""Two-controller jax.distributed CPU test of the sharded kmerize program.
+
+Spawns 2 subprocesses (4 fake devices each -> 8-way mesh) running
+multiproc_worker.py, then byte-compares the combined shard outputs against the
+golden reference — the closest single-box stand-in for a 2-host TPU run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from zotpu import semantics as S
+from zotpu.reference_impl import golden as G
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_kmerize(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = (extra + os.pathsep if extra else "") + repo
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    # Combine shard rows from both processes.
+    D = 8
+    rows = {}
+    for pid in range(2):
+        data = np.load(tmp_path / f"proc{pid}.npz")
+        for key in data.files:
+            name, d = key.rsplit("_", 1)
+            rows.setdefault(int(d), {})[name] = data[key]
+    assert sorted(rows) == list(range(D))
+    keys_all, cnts_all = [], []
+    for d in range(D):
+        n = int(rows[d]["n"][0])
+        assert int(rows[d]["ovf"][0]) == 0
+        keys_all.append(S.join_hi_lo(rows[d]["uhi"][:n], rows[d]["ulo"][:n]))
+        cnts_all.append(rows[d]["counts"][:n].astype(np.uint32))
+    keys = np.concatenate(keys_all)
+    cnts = np.concatenate(cnts_all)
+
+    # Rebuild the identical global input and compare with golden.
+    rng = np.random.default_rng(42)
+    R, L, k = 32, 60, 17
+    codes_g = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    seqs = [bytes(S.DECODE_LUT[row]).decode() for row in codes_g]
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(cnts, want_c)

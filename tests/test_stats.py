@@ -1,0 +1,71 @@
+"""Tests for the stats helpers and sparse rank/select."""
+
+import math
+
+import numpy as np
+
+from zotpu import sparse, stats
+
+
+def test_log_gamma_against_math():
+    for x in [0.1, 0.5, 1.0, 2.0, 5.5, 30.0, 171.0]:
+        assert abs(stats.log_gamma(x) - math.lgamma(x)) < 1e-9 * max(1, abs(math.lgamma(x)))
+
+
+def test_log_fac_choose():
+    assert abs(stats.log_fac(10) - math.log(math.factorial(10))) < 1e-9
+    assert abs(stats.log_choose(10, 3) - math.log(120)) < 1e-9
+
+
+def test_log_add_sum():
+    a, b = math.log(3.0), math.log(4.0)
+    assert abs(stats.log_add(a, b) - math.log(7.0)) < 1e-12
+    assert stats.log_add(-np.inf, -np.inf) == -np.inf
+    xs = np.log(np.array([1.0, 2.0, 3.0]))
+    assert abs(stats.log_sum(xs) - math.log(6.0)) < 1e-12
+
+
+def test_poisson():
+    lam = 3.5
+    pdf = [stats.poisson_pdf(lam, k) for k in range(50)]
+    assert abs(sum(pdf) - 1.0) < 1e-9
+    assert abs(stats.poisson_cdf(lam, 49) - 1.0) < 1e-9
+    # pdf peak at floor(lam)
+    assert max(range(50), key=lambda k: pdf[k]) == 3
+
+
+def test_gamma_pdf_integrates():
+    xs = np.linspace(0.001, 60, 200000)
+    pdf = np.exp(stats.log_gamma_pdf(2.0, 0.5, xs))
+    assert abs(np.trapezoid(pdf, xs) - 1.0) < 1e-3
+
+
+def test_ks_distance():
+    a = np.array([0.1, 0.5, 1.0])
+    b = np.array([0.2, 0.4, 1.0])
+    assert abs(stats.ks_distance(a, b) - 0.1) < 1e-15
+
+
+def test_spectrum_mixture_fit():
+    # error peak at 1, genomic peak at 20, ~1000 genomic k-mers
+    h = np.zeros(64)
+    h[1], h[2] = 500, 100
+    for f in range(10, 31):
+        h[f] = 1000 * math.exp(-0.5 * ((f - 20) / 4) ** 2)
+    cut, lam_g, gsize = stats.spectrum_mixture_fit(h)
+    assert 2 < cut < 10
+    assert lam_g == 20
+    total_genomic = sum(h[f] * f for f in range(cut, 64))
+    assert abs(gsize - total_genomic / 20) < 2
+
+
+def test_sparse_rank_select_access():
+    keys = np.array([2, 5, 9, 100], np.uint64)
+    s = sparse.SparseSet(keys)
+    assert len(s) == 4
+    assert s.rank(5) == 1 and s.rank(6) == 2 and s.rank(0) == 0
+    assert s.select(2) == 9
+    assert list(s.access(np.array([2, 3, 100], np.uint64))) == [True, False, True]
+    assert s.count_range(3, 100) == 2
+    empty = sparse.SparseSet(np.empty(0, np.uint64))
+    assert list(empty.access(np.array([1], np.uint64))) == [False]

@@ -49,23 +49,33 @@ def _pad_pow2(keys, counts):
 
 
 def cmd_kmerize(args):
+    import time
+
+    from zotpu import metrics
     from zotpu.workloads import kmerize as W
+    logger = metrics.MetricsLogger(args.metrics) if args.metrics else None
     stats = W.Stats()
-    if args.host:
-        seqs = _read_all_seqs(args.inputs)
-        keys, counts = G.kmerize(args.k, seqs)
-        stats.reads = len(seqs)
-        stats.bases = sum(len(s) for s in seqs)
-        stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
-        stats.unique = len(keys)
-    else:
-        keys, counts = W.kmerize_paths(
-            args.inputs, args.k, batch_reads=args.batch_reads,
-            max_len=args.max_len, spill_dir=args.spill_dir, stats=stats)
+    t0 = time.perf_counter()
+    with metrics.profiled(args.trace):
+        if args.host:
+            seqs = _read_all_seqs(args.inputs)
+            keys, counts = G.kmerize(args.k, seqs)
+            stats.reads = len(seqs)
+            stats.bases = sum(len(s) for s in seqs)
+            stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
+            stats.unique = len(keys)
+        else:
+            keys, counts = W.kmerize_paths(
+                args.inputs, args.k, batch_reads=args.batch_reads,
+                max_len=args.max_len, spill_dir=args.spill_dir, stats=stats)
+    wall = time.perf_counter() - t0
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=counts,
         meta={"tool": "zotpu kmerize", "inputs": args.inputs,
               "stats": stats.as_dict()}))
+    if logger:
+        logger.log("kmerize", **metrics.kmerize_stage_metrics(stats, wall))
+        logger.close()
     print(json.dumps({"command": "kmerize", **stats.as_dict()}))
     return 0
 
@@ -250,6 +260,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, required=True, dest="k")
     sp.add_argument("--spill-dir", default=None,
                     help="write per-batch sorted runs here (restartable)")
+    sp.add_argument("--metrics", default=None,
+                    help="append JSONL stage metrics to this file")
+    sp.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace to this directory")
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
     common(sp, batch=True)
@@ -320,6 +334,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from zotpu import runtime
+    runtime.setup()
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

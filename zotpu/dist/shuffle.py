@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from zotpu import semantics as S
 from zotpu.dist.mesh import AXIS, shard_bits
@@ -108,7 +108,7 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         local_step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
         out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
-        check_rep=False)
+        )
     return jax.jit(fn), cap_out
 
 
@@ -165,7 +165,7 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         local_step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None)),
         out_specs=(P(AXIS, None), P(AXIS)),
-        check_rep=False)
+        )
     return jax.jit(fn)
 
 

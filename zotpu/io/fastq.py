@@ -106,6 +106,12 @@ def parse_batches(path: str, max_reads: int, max_len: int,
     """
     if fmt is None:
         fmt = sniff_format(path)
+    if fmt == "fastq":
+        from zotpu.io import native
+        gen = native.parse_batches_native(path, max_reads, max_len)
+        if gen is not None:
+            yield from gen
+            return
     with open_file(path, "rb") as f:
         data = f.read()
     buf = np.frombuffer(data, dtype=np.uint8)

@@ -1,0 +1,119 @@
+"""ctypes bridge to the native C++ FASTQ parser (zotpu/native/).
+
+Builds ``libzotpu_native.so`` with g++ on first use (cached next to the
+source); every entry point has a numpy fallback (io/fastq.py), so the
+framework works -- just slower on the host side -- if no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from zotpu import semantics as S
+from zotpu.io.fastq import CodeBatch, open_file
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastq_parser.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libzotpu_native.so")
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None on failure."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not _build():
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.zotpu_parse_fastq.restype = ctypes.c_int64
+        lib.zotpu_parse_fastq.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.zotpu_encode.restype = None
+        lib.zotpu_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def parse_fastq_buffer(buf: bytes | np.ndarray, max_reads: int, max_len: int,
+                       offset: int = 0):
+    """One native parse call. Returns (codes, lengths, n_reads, consumed,
+    max_seen) or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.empty((max_reads, max_len), np.uint8)
+    lengths = np.empty(max_reads, np.int32)
+    consumed = ctypes.c_int64(0)
+    max_seen = ctypes.c_int64(0)
+    base = arr.ctypes.data + offset
+    n = lib.zotpu_parse_fastq(
+        ctypes.c_void_p(base), ctypes.c_int64(len(arr) - offset),
+        ctypes.c_int64(max_reads), ctypes.c_int64(max_len),
+        ctypes.c_void_p(codes.ctypes.data), ctypes.c_void_p(lengths.ctypes.data),
+        ctypes.byref(consumed), ctypes.byref(max_seen))
+    return codes, lengths, int(n), int(consumed.value), int(max_seen.value)
+
+
+def parse_batches_native(path: str, max_reads: int, max_len: int
+                         ) -> Iterator[CodeBatch] | None:
+    """Native FASTQ batch stream; None if unusable (no lib / overlong reads).
+
+    Overlong reads (longer than max_len) require the halo-chunking slow path,
+    signalled by returning None on the FIRST call so the caller can fall back
+    before yielding anything.
+    """
+    if get_lib() is None:
+        return None
+    with open_file(path, "rb") as f:
+        data = f.read()
+    first = parse_fastq_buffer(data, max_reads, max_len)
+    if first is None or first[4] > max_len:
+        return None
+
+    def gen():
+        codes, lengths, n, consumed, _ = first
+        offset = 0
+        while True:
+            if n > 0:
+                if n < max_reads:
+                    codes[n:] = S.INVALID_CODE
+                    lengths[n:] = 0
+                yield CodeBatch(codes=codes, lengths=lengths, n_reads=n)
+            offset += consumed
+            if n == 0 or offset >= len(data):
+                break
+            res = parse_fastq_buffer(data, max_reads, max_len, offset=offset)
+            codes, lengths, n, consumed, max_seen = res
+            if max_seen > max_len:
+                raise ValueError(
+                    f"{path}: read longer than max_len={max_len} mid-stream")
+    return gen()

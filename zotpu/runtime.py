@@ -1,0 +1,29 @@
+"""Runtime/platform setup helpers.
+
+Central place for jax runtime knobs: the persistent compilation cache (new
+kernel shapes compile remotely in minutes on tunneled TPU setups -- caching
+them across processes makes the CLI usable) and explicit platform selection.
+"""
+
+from __future__ import annotations
+
+import os
+
+_CACHE_SET = False
+
+
+def setup(cache_dir: str | None = None) -> None:
+    """Enable the persistent compilation cache (idempotent)."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    import jax
+    cache = (cache_dir or os.environ.get("ZOTPU_JAX_CACHE")
+             or os.path.expanduser("~/.cache/zotpu_jax"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or read-only FS: carry on uncached
+    _CACHE_SET = True
