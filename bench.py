@@ -21,9 +21,13 @@ def main():
     runtime.setup()
     from zotpu.bench import harness
 
-    total_bases = int(os.environ.get("ZOTPU_BENCH_BASES", 1 << 26))
+    total_bases = int(os.environ.get("ZOTPU_BENCH_BASES", 1 << 25))
     k = int(os.environ.get("ZOTPU_BENCH_K", 25))
+    print(f"bench: kmerize {total_bases} bases k={k} on {jax.devices()[0]}",
+          file=sys.stderr, flush=True)
     r = harness.bench_kmerize(total_bases, k=k, read_len=256, repeats=3)
+    print(f"bench: kmerize done in {r['seconds']:.3f}s; setops...",
+          file=sys.stderr, flush=True)
     s = harness.bench_setops(n=1 << 21, repeats=3)
     print(json.dumps({"extra": s, "device": str(jax.devices()[0])}),
           file=sys.stderr)

@@ -61,6 +61,26 @@ def test_kmerize_spill_resume(tmp_path, reads):
     assert np.array_equal(counts, rc)
 
 
+def test_kmerize_crash_and_resume(tmp_path, reads):
+    """Fault injection: crash mid-run, resume, output identical (SURVEY §5)."""
+    from zotpu.workloads import kmerize as W
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    clean_keys, clean_counts = W.kmerize_paths([str(fq)], 21, batch_reads=32,
+                                               max_len=128)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    with pytest.raises(W.Interrupted):
+        W.kmerize_paths([str(fq)], 21, batch_reads=32, max_len=128,
+                        spill_dir=str(spill), fail_after_batches=2)
+    assert len(list(spill.glob("*.zkf"))) == 2
+    # resume recomputes only the missing batches
+    keys, counts = W.kmerize_paths([str(fq)], 21, batch_reads=32, max_len=128,
+                                   spill_dir=str(spill), resume=True)
+    assert np.array_equal(keys, clean_keys)
+    assert np.array_equal(counts, clean_counts)
+
+
 def test_merge_cli(tmp_path, rng, capsys):
     paths = []
     sets = []

@@ -67,7 +67,8 @@ def cmd_kmerize(args):
         else:
             keys, counts = W.kmerize_paths(
                 args.inputs, args.k, batch_reads=args.batch_reads,
-                max_len=args.max_len, spill_dir=args.spill_dir, stats=stats)
+                max_len=args.max_len, spill_dir=args.spill_dir, stats=stats,
+                resume=args.resume)
     wall = time.perf_counter() - t0
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=counts,
@@ -260,6 +261,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, required=True, dest="k")
     sp.add_argument("--spill-dir", default=None,
                     help="write per-batch sorted runs here (restartable)")
+    sp.add_argument("--resume", action="store_true",
+                    help="reuse completed runs in --spill-dir after a crash")
     sp.add_argument("--metrics", default=None,
                     help="append JSONL stage metrics to this file")
     sp.add_argument("--trace", default=None,

@@ -62,11 +62,15 @@ def set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
         raise ValueError(f"unknown set op {op!r}")
 
     keep_first = first & keep
-    out_idx = jnp.cumsum(keep_first.astype(jnp.int32)) - 1
-    idx = jnp.where(keep_first, out_idx, n)
-    out_hi = jnp.full(n, SENT32).at[idx].set(hi, mode="drop")
-    out_lo = jnp.full(n, SENT32).at[idx].set(lo, mode="drop")
-    out_c = jnp.zeros(n, jnp.uint32).at[idx].set(cnt, mode="drop")
+    # Scatter-free compaction (see kernels/sortdedup.py TPU note): stable sort
+    # on the keep flag moves kept rows to the front preserving key order.
+    flag = (~keep_first).astype(jnp.uint32)
+    flag, out_hi, out_lo, out_c = jax.lax.sort((flag, hi, lo, cnt), num_keys=1,
+                                               is_stable=True)
+    kept = flag == 0
+    out_hi = jnp.where(kept, out_hi, SENT32)
+    out_lo = jnp.where(kept, out_lo, SENT32)
+    out_c = jnp.where(kept, out_c, jnp.uint32(0))
     n_out = jnp.sum(keep_first.astype(jnp.int32))
     return out_hi, out_lo, out_c, n_out
 

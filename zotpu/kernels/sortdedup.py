@@ -42,24 +42,34 @@ def dedup_count_sorted(hi, lo):
     Every non-sentinel entry counts 1 (kmerize path). Returns
     (uhi, ulo, counts, n_unique) with capacity n; rows >= n_unique are
     sentinel/0.
+
+    TPU note: formulated with scans + one stable compaction sort and NO
+    scatter/gather -- XLA:TPU lowers dynamic scatter/gather to near-serial
+    loops (measured ~0.03 Gelem/s vs ~1 Gelem/s for cumsum; bench/micro.py),
+    so segment counts come from a suffix-scan of next-boundary positions and
+    compaction from a stable sort on the keep flag.
     """
     n = hi.shape[0]
-    first, last = _boundaries(hi, lo)
+    first, _ = _boundaries(hi, lo)
     is_valid = ~((hi == SENT32) & (lo == SENT32))
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     pos = jnp.arange(n, dtype=jnp.int32)
-    # Scatter first/last positions of each segment; 'drop' ignores idx==n.
-    idx_first = jnp.where(first, seg, n)
-    idx_last = jnp.where(last, seg, n)
-    fp = jnp.zeros(n, jnp.int32).at[idx_first].set(pos, mode="drop")
-    lp = jnp.zeros(n, jnp.int32).at[idx_last].set(pos, mode="drop")
-    counts = (lp - fp + 1).astype(jnp.uint32)
-    uhi = jnp.full(n, SENT32).at[idx_first].set(hi, mode="drop")
-    ulo = jnp.full(n, SENT32).at[idx_first].set(lo, mode="drop")
-    key_ok = ~((uhi == SENT32) & (ulo == SENT32))
-    counts = jnp.where(key_ok, counts, jnp.uint32(0))
-    n_unique = jnp.sum((first & is_valid).astype(jnp.int32))
-    return uhi, ulo, counts, n_unique
+    # next_first[i] = position of the next segment start after i (n if none):
+    # inclusive reverse cummin of (first ? pos : n), shifted left by one.
+    arr = jnp.where(first, pos, n)
+    inc = jax.lax.cummin(arr, axis=0, reverse=True)
+    next_first = jnp.concatenate([inc[1:], jnp.full((1,), n, jnp.int32)])
+    counts = (next_first - pos).astype(jnp.uint32)
+    keep = first & is_valid
+    # Stable sort on the keep flag compacts kept rows to the front in key order.
+    flag = (~keep).astype(jnp.uint32)
+    flag, uhi, ulo, cnt = jax.lax.sort((flag, hi, lo, counts), num_keys=1,
+                                       is_stable=True)
+    kept = flag == 0
+    uhi = jnp.where(kept, uhi, SENT32)
+    ulo = jnp.where(kept, ulo, SENT32)
+    cnt = jnp.where(kept, cnt, jnp.uint32(0))
+    n_unique = jnp.sum(keep.astype(jnp.int32))
+    return uhi, ulo, cnt, n_unique
 
 
 @jax.jit

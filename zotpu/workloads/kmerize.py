@@ -56,27 +56,49 @@ def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, n
     return runs[0]
 
 
+class Interrupted(RuntimeError):
+    """Raised by the fault-injection hook to simulate a mid-run crash."""
+
+
 def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
                   max_len: int = 256, spill_dir: str | None = None,
-                  stats: Stats | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Kmerize files into one sorted unique (keys u64, counts u32) pair."""
+                  stats: Stats | None = None, resume: bool = False,
+                  fail_after_batches: int | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Kmerize files into one sorted unique (keys u64, counts u32) pair.
+
+    With ``spill_dir`` each batch's sorted run is written as a ZKF file, which
+    is the checkpoint granularity: ``resume=True`` re-reads completed runs
+    instead of recomputing them, so a crashed run redoes at most one batch
+    (SURVEY.md section 5, failure detection / batch-granular restartability).
+    ``fail_after_batches`` is the fault-injection hook used by tests.
+    """
     S.check_k(k)
     stats = stats if stats is not None else Stats()
     runs: list[tuple[np.ndarray, np.ndarray]] = []
+    batch_no = 0
     for path in paths:
         for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
-            uhi, ulo, counts, n = _device_batch(batch.codes, batch.lengths, k)
-            n = int(n)
-            keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
-            cnts = np.asarray(counts[:n])
+            batch_no += 1
+            run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
+                        if spill_dir is not None else None)
+            if resume and run_path and os.path.exists(run_path):
+                ks = container.read(run_path)
+                keys, cnts = ks.keys, ks.counts
+            else:
+                if fail_after_batches is not None and batch_no > fail_after_batches:
+                    raise Interrupted(f"injected failure before batch {batch_no}")
+                uhi, ulo, counts, n = _device_batch(batch.codes, batch.lengths, k)
+                n = int(n)
+                keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
+                cnts = np.asarray(counts[:n])
+                if run_path is not None:
+                    container.write(run_path, container.KmerSet(
+                        k=k, keys=keys, counts=cnts, meta={"run": batch_no}))
             stats.batches += 1
             stats.reads += batch.n_reads
             stats.bases += int(batch.lengths[:batch.n_reads].sum())
             stats.kmers += int(cnts.sum(dtype=np.uint64))
-            if spill_dir is not None:
-                run_path = os.path.join(spill_dir, f"run{stats.batches:06d}.zkf")
-                container.write(run_path, container.KmerSet(
-                    k=k, keys=keys, counts=cnts, meta={"run": stats.batches}))
             runs.append((keys, cnts))
     keys, counts = merge_runs(runs)
     stats.unique = len(keys)
