@@ -1,6 +1,7 @@
 """Pallas bitonic sort engine (interpret mode) vs numpy — exact order."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from zotpu.kernels import sort_pallas as SP
@@ -90,3 +91,64 @@ def test_full_sort_with_sentinels():
     whi, wlo = _np_sort_pairs(hi, lo)
     assert np.array_equal(np.asarray(shi), whi)
     assert np.array_equal(np.asarray(slo), wlo)
+
+
+def test_stream_merge_pass_small(monkeypatch):
+    """Streaming merge-path pass on shrunken tiles (monkeypatched constants)."""
+    monkeypatch.setattr(SP, "TILE_E", 1024)
+    monkeypatch.setattr(SP, "TILE_R", 1024 // 128)
+    monkeypatch.setattr(SP, "LOAD_R", 1024 // 128 + 8)
+    n, run = 8192, 2048
+    hi, lo, pay = _rand(n, 17)
+    for b in range(n // run):
+        sl = slice(b * run, (b + 1) * run)
+        hi[sl], lo[sl], pay[sl] = _np_sort_pairs(hi[sl], lo[sl], pay[sl])
+    mhi, mlo, mpay = SP.stream_merge_pass_pallas(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
+        jnp.int32(run), interpret=True)
+    mhi, mlo = np.asarray(mhi), np.asarray(mlo)
+    for b in range(n // (2 * run)):
+        sl = slice(b * 2 * run, (b + 1) * 2 * run)
+        whi, wlo = _np_sort_pairs(hi[sl], lo[sl])
+        assert np.array_equal(mhi[sl], whi)
+        assert np.array_equal(mlo[sl], wlo)
+
+
+def test_stream_merge_with_duplicates_and_payload(monkeypatch):
+    """Duplicate keys across the merge boundary: multiset of (key, payload)
+    pairs must be exactly preserved (merge-path exactness)."""
+    monkeypatch.setattr(SP, "TILE_E", 1024)
+    monkeypatch.setattr(SP, "TILE_R", 8)
+    monkeypatch.setattr(SP, "LOAD_R", 16)
+    rng = np.random.default_rng(23)
+    n, run = 4096, 2048
+    hi = np.zeros(n, np.uint32)
+    lo = rng.integers(0, 50, n).astype(np.uint32)  # heavy duplication
+    pay = np.arange(n, dtype=np.uint32)
+    for b in range(2):
+        sl = slice(b * run, (b + 1) * run)
+        hi[sl], lo[sl], pay[sl] = _np_sort_pairs(hi[sl], lo[sl], pay[sl])
+    mhi, mlo, mpay = SP.stream_merge_pass_pallas(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
+        jnp.int32(run), interpret=True)
+    mlo, mpay = np.asarray(mlo), np.asarray(mpay)
+    assert np.array_equal(mlo, np.sort(lo))
+    got = sorted(zip(mlo.tolist(), mpay.tolist()))
+    want = sorted(zip(lo.tolist(), pay.tolist()))
+    assert got == want
+
+
+def test_full_sort_pallas_streaming(monkeypatch):
+    """End-to-end sort_pallas exercising all three phases + pow2 padding."""
+    monkeypatch.setattr(SP, "TILE_E", 1024)
+    monkeypatch.setattr(SP, "TILE_R", 8)
+    monkeypatch.setattr(SP, "LOAD_R", 16)
+    n = 7000  # not a power of two
+    hi, lo, pay = _rand(n, 31)
+    shi, slo, spay = SP.sort_pallas(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
+        block=512, max_vmem_run=1024, interpret=True)
+    whi, wlo, _ = _np_sort_pairs(hi, lo, pay)
+    assert np.array_equal(np.asarray(shi), whi)
+    assert np.array_equal(np.asarray(slo), wlo)
+    assert shi.shape[0] == n

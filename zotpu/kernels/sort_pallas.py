@@ -177,20 +177,238 @@ def merge_pass_pallas(hi, lo, pay, run: int, interpret: bool = False):
     return tuple(x.reshape(-1) for x in out)
 
 
+# ---------------------------------------------------------------------------
+# Streaming merge-path pass: merge pairs of sorted runs of ANY length with
+# VMEM-tile working sets. Per output tile of T = TILE_E elements, the XLA-side
+# merge-path partition (A-first-on-ties) gives the exact input ranges
+# A[a0:a1], B[b0:b1] with (a1-a0) + (b1-b0) = T; the kernel DMA-loads a
+# row-aligned window per side, rotates it element-aligned, masks outside
+# [0, cnt) to sentinel, reverses the B side and runs one bitonic merge
+# network. Because ranges are exact, the output is multiset-exact even with
+# duplicate keys (no tie-breaking hazards).
+# ---------------------------------------------------------------------------
+
+TILE_E = 1 << 15              # output tile elements
+TILE_R = TILE_E // LANES      # 256 rows
+LOAD_R = TILE_R + 8           # window rows (rotation slack, 8-row aligned)
+
+
+def _less_eq2(ahi, alo, bhi, blo):
+    return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+
+
+def _merge_partition(hi, lo, run, n):
+    """a0 for every output tile boundary (vectorized merge-path search).
+
+    run is a traced scalar; 26 fixed binary-search iterations cover any
+    run <= 2^26 elements per side... actually any run: the search space per
+    boundary is at most 2*TILE-bounded? No: a0 in [max(0,d-run), min(d,run)]
+    spans up to run, so iterations must cover log2(run); 31 covers all i32.
+    """
+    t = jnp.arange(n // TILE_E, dtype=jnp.int32)
+    pair = t // jnp.maximum(2 * run // TILE_E, 1)
+    base = pair * 2 * run
+    d = t * TILE_E - base               # offset within the pair
+    nA = run
+    lo_b = jnp.maximum(0, d - nA)
+    hi_b = jnp.minimum(d, nA)
+
+    def a_le_b(a_idx, b_idx):
+        """A[a_idx] <= B[b_idx] with A-first ties; indices are pair-local."""
+        ga = jnp.clip(base + a_idx, 0, n - 1)
+        gb = jnp.clip(base + run + b_idx, 0, n - 1)
+        le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
+        le = jnp.where(a_idx < 0, True, le)       # A[-1] = -inf
+        le = jnp.where(b_idx >= nA, True, le)     # B[>=nB] = +inf
+        le = jnp.where(b_idx < 0, False, le)
+        return le
+
+    def body(_, carry):
+        lo_c, hi_c = carry
+        mid = (lo_c + hi_c + 1) >> 1
+        ok = a_le_b(mid - 1, d - mid)
+        lo_c = jnp.where(ok, mid, lo_c)
+        hi_c = jnp.where(ok, hi_c, mid - 1)
+        return lo_c, hi_c
+
+    lo_b, hi_b = jax.lax.fori_loop(0, 31, body, (lo_b, hi_b))
+    return lo_b  # a0 per tile (pair-local)
+
+
+def _flat_rot_const(v, r):
+    """w[i] = v[i + r] over the row-major flat index, constant r in [0,128)."""
+    if r == 0:
+        return v
+    rows = v.shape[0]
+    vl = pltpu.roll(v, shift=LANES - r, axis=1)
+    vup = pltpu.roll(v, shift=rows - 1, axis=0)
+    vlu = pltpu.roll(vup, shift=LANES - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane < LANES - r, vl, vlu)
+
+
+def _flat_rot_dyn(v, rot):
+    """Dynamic flat rotation by rot in [0, 128): 7 conditional const-rotates."""
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        v = jax.tree_util.tree_map(
+            lambda x: jnp.where((rot & bit) != 0, _flat_rot_const(x, bit), x), v)
+    return v
+
+
+def _stream_merge_kernel(scal_ref, hi_hbm, lo_hbm, pay_hbm,
+                         ohi_ref, olo_ref, opay_ref,
+                         awin_hi, awin_lo, awin_pay,
+                         bwin_hi, bwin_lo, bwin_pay, sems):
+    t = pl.program_id(0)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    a_row0 = scal_ref[0, t]
+    b_row0 = scal_ref[1, t]
+    a_rot = scal_ref[2, t]
+    b_rot = scal_ref[3, t]
+    a_cnt = scal_ref[4, t]
+    b_cnt = scal_ref[5, t]
+
+    copies = []
+    for i, (src, dst) in enumerate((
+            (hi_hbm, awin_hi), (lo_hbm, awin_lo), (pay_hbm, awin_pay))):
+        c = pltpu.make_async_copy(src.at[pl.ds(a_row0, LOAD_R), :], dst,
+                                  sems.at[i])
+        c.start()
+        copies.append(c)
+    for i, (src, dst) in enumerate((
+            (hi_hbm, bwin_hi), (lo_hbm, bwin_lo), (pay_hbm, bwin_pay))):
+        c = pltpu.make_async_copy(src.at[pl.ds(b_row0, LOAD_R), :], dst,
+                                  sems.at[3 + i])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    def prep(whi, wlo, wpay, rot, cnt, reverse):
+        whi, wlo, wpay = _flat_rot_dyn((whi, wlo, wpay), rot)
+        whi = whi[:TILE_R]
+        wlo = wlo[:TILE_R]
+        wpay = wpay[:TILE_R]
+        row = jax.lax.broadcasted_iota(jnp.int32, whi.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, whi.shape, 1)
+        flat = row * LANES + lane
+        live = flat < cnt
+        whi = jnp.where(live, whi, SENT)
+        wlo = jnp.where(live, wlo, SENT)
+        if reverse:
+            whi, wlo, wpay = (x[::-1, ::-1] for x in (whi, wlo, wpay))
+        return whi, wlo, wpay
+
+    ahi, alo, apay = prep(awin_hi[:], awin_lo[:], awin_pay[:],
+                          a_rot, a_cnt, False)
+    bhi, blo, bpay = prep(bwin_hi[:], bwin_lo[:], bwin_pay[:],
+                          b_rot, b_cnt, True)
+    chi = jnp.concatenate([ahi, bhi], axis=0)
+    clo = jnp.concatenate([alo, blo], axis=0)
+    cpay = jnp.concatenate([apay, bpay], axis=0)
+    chi, clo, cpay = _bitonic_merge_block(chi, clo, cpay, 2 * TILE_E)
+    ohi_ref[:] = chi[:TILE_R]
+    olo_ref[:] = clo[:TILE_R]
+    opay_ref[:] = cpay[:TILE_R]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
+    """One streaming pass: sorted runs of (traced) length ``run`` -> 2*run.
+
+    n must be a multiple of 2*run and of TILE_E. One compile serves every
+    pass size (run is data, not shape).
+    """
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    a0 = _merge_partition(hi, lo, run, n)
+    t = jnp.arange(ntiles, dtype=jnp.int32)
+    pair = t // jnp.maximum(2 * run // TILE_E, 1)
+    base = pair * 2 * run
+    d = t * TILE_E - base
+    # a1 = a0 of the next tile in the same pair; last tile of a pair ends at
+    # the pair's d+TILE which by construction consumes the rest.
+    next_a0 = jnp.concatenate([a0[1:], jnp.zeros((1,), a0.dtype)])
+    next_pair = jnp.concatenate([pair[1:], jnp.full((1,), -1, pair.dtype)])
+    a1 = jnp.where(next_pair == pair, next_a0,
+                   jnp.minimum(run, d + TILE_E))
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    ga0 = base + a0
+    gb0 = base + run + b0
+    scal = jnp.stack([
+        ga0 // LANES,                    # a_row0
+        gb0 // LANES,                    # b_row0
+        ga0 % LANES,                     # a_rot
+        gb0 % LANES,                     # b_rot
+        a1 - a0,                         # a_cnt
+        b1 - b0,                         # b_cnt
+    ]).astype(jnp.int32)
+
+    # pad inputs so window loads never run off the end
+    pad_rows = LOAD_R
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x.reshape(-1, LANES),
+             jnp.full((pad_rows, LANES), fill, x.dtype)])
+    hi2, lo2 = pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))
+    pay2 = pad(pay, jnp.uint32(0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(6)
+        ] + [pltpu.SemaphoreType.DMA((6,))],
+    )
+    out = pl.pallas_call(
+        _stream_merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(scal, hi2, lo2, pay2)
+    return tuple(x.reshape(-1) for x in out)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
 def sort_pallas(hi, lo, pay=None, block: int = 1 << 15,
                 max_vmem_run: int = 1 << 17, interpret: bool = False):
     """Full sort of flat (hi, lo[, pay]) u32 arrays, ascending lexicographic.
 
-    Phase 1 block-sorts; phase 2 merges pairwise while run pairs fit in VMEM.
-    For n beyond max_vmem_run the tail merging falls back to jax.lax.sort of
-    run boundaries... (not yet: callers cap n at max_vmem_run or use lax.sort;
-    the streaming merge-path pass lands next).
+    Phase 1 block-sorts in VMEM; phase 2 merges pairwise in VMEM while run
+    pairs fit; phase 3 streams merge-path passes for arbitrarily large runs.
+    Input is padded to a power of two with sentinel keys and sliced back.
     """
-    n = hi.shape[0]
+    n0 = hi.shape[0]
     had_pay = pay is not None
     if pay is None:
         pay = jnp.zeros_like(hi)
-    block = min(block, n) if n >= LANES else n
+    if n0 < 2 * LANES:   # tiny: not worth a kernel
+        out = jax.lax.sort((hi, lo, pay), num_keys=2)
+        return out if had_pay else out[:2]
+    n = max(_next_pow2(n0), LANES * 2)
+    if n > n0:
+        padk = jnp.full(n - n0, 0xFFFFFFFF, jnp.uint32)
+        hi = jnp.concatenate([hi, padk])
+        lo = jnp.concatenate([lo, padk])
+        pay = jnp.concatenate([pay, jnp.zeros(n - n0, jnp.uint32)])
+    block = min(block, n)
     hi, lo, pay = sort_blocks_pallas(hi, lo, pay, block=block,
                                      interpret=interpret)
     run = block
@@ -198,8 +416,9 @@ def sort_pallas(hi, lo, pay=None, block: int = 1 << 15,
         hi, lo, pay = merge_pass_pallas(hi, lo, pay, run=run,
                                         interpret=interpret)
         run *= 2
-    if run < n:
-        # remaining huge runs: delegate to lax.sort for now (streaming
-        # merge-path pass is the planned replacement)
-        hi, lo, pay = jax.lax.sort((hi, lo, pay), num_keys=2)
+    while run < n:
+        hi, lo, pay = stream_merge_pass_pallas(
+            hi, lo, pay, jnp.int32(run), interpret=interpret)
+        run *= 2
+    hi, lo, pay = hi[:n0], lo[:n0], pay[:n0]
     return (hi, lo, pay) if had_pay else (hi, lo)
