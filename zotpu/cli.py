@@ -136,21 +136,35 @@ def _binary_setop(args, op):
     return 0
 
 
-def cmd_jaccard(args):
-    a, _ = _load_padded(args.a)
-    b, _ = _load_padded(args.b)
-    if args.host:
+def _pair_jaccard(a, b, host):
+    if host:
         ni = len(np.intersect1d(a.keys, b.keys))
         nu = len(np.union1d(a.keys, b.keys))
         na, nb = a.n, b.n
     else:
         from zotpu.kernels import setops
-        ahi, alo, ac = _pad_pow2(a.keys, np.ones(a.n, np.uint32))
-        bhi, blo, bc = _pad_pow2(b.keys, np.ones(b.n, np.uint32))
+        ahi, alo, _ = _pad_pow2(a.keys, np.ones(a.n, np.uint32))
+        bhi, blo, _ = _pad_pow2(b.keys, np.ones(b.n, np.uint32))
         na, nb, ni, nu = (int(x) for x in setops.cardinalities(ahi, alo, bhi, blo))
-    j = ni / nu if nu else 0.0
-    print(json.dumps({"command": "jaccard", "a": int(na), "b": int(nb),
-                      "intersect": int(ni), "union": int(nu), "jaccard": j}))
+    return int(na), int(nb), int(ni), int(nu)
+
+
+def cmd_jaccard(args):
+    """Pairwise similarity; with >2 inputs prints the full matrix."""
+    sets = [_load_padded(p)[0] for p in args.inputs]
+    if len(sets) == 2:
+        na, nb, ni, nu = _pair_jaccard(sets[0], sets[1], args.host)
+        print(json.dumps({"command": "jaccard", "a": na, "b": nb,
+                          "intersect": ni, "union": nu,
+                          "jaccard": ni / nu if nu else 0.0}))
+        return 0
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            _, _, ni, nu = _pair_jaccard(sets[i], sets[j], args.host)
+            print(json.dumps({
+                "command": "jaccard", "a": args.inputs[i], "b": args.inputs[j],
+                "intersect": ni, "union": nu,
+                "jaccard": ni / nu if nu else 0.0}))
     return 0
 
 
@@ -167,7 +181,11 @@ def cmd_hist(args):
         if h[freq]:
             print(f"{freq}\t{int(h[freq])}")
     if args.cutoff:
-        print(json.dumps({"command": "hist", "cutoff": int(G.error_peak_cutoff(h))}))
+        from zotpu import stats as ST
+        cut, lam_g, gsize = ST.spectrum_mixture_fit(np.asarray(h, np.float64))
+        print(json.dumps({"command": "hist", "cutoff": int(cut),
+                          "coverage_peak": float(lam_g),
+                          "genome_size_estimate": int(gsize)}))
     return 0
 
 
@@ -285,9 +303,8 @@ def build_parser() -> argparse.ArgumentParser:
         common(sp)
         sp.set_defaults(fn=lambda a, _op=op: _binary_setop(a, _op))
 
-    sp = sub.add_parser("jaccard", help="similarity of two sets")
-    sp.add_argument("a")
-    sp.add_argument("b")
+    sp = sub.add_parser("jaccard", help="similarity of two or more sets")
+    sp.add_argument("inputs", nargs="+")
     common(sp)
     sp.set_defaults(fn=cmd_jaccard)
 

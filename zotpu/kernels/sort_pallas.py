@@ -41,6 +41,20 @@ def _xor_shuffle(v, s):
     return jnp.where((row & sr) == 0, fwd, bwd)
 
 
+def _flip_all(v):
+    """Full reversal over the row-major flat order: out[i] = v[n-1-i].
+
+    Mosaic has no `rev` lowering, so reversal is composed from single-bit
+    XOR shuffles (they commute): XOR with n-1 flips every index bit.
+    """
+    n = v.shape[0] * LANES
+    bit = 1
+    while bit < n:
+        v = _xor_shuffle(v, bit)
+        bit *= 2
+    return v
+
+
 def _index_bit(shape, bit):
     """(i & bit) != 0 as a bool array over the (R, 128) layout."""
     if bit < LANES:
@@ -59,9 +73,10 @@ def _compare_exchange(hi, lo, pay, s, ascending_mask):
     p_less = (phi < hi) | ((phi == hi) & (plo < lo))
     p_greater = (phi > hi) | ((phi == hi) & (plo > lo))
     i_is_low = ~_index_bit(hi.shape, s)   # i < i^s
-    # ascending & low slot -> keep min; descending & low slot -> keep max
-    want_min = jnp.logical_not(jnp.logical_xor(ascending_mask, i_is_low))
-    take_partner = jnp.where(want_min, p_less, p_greater)
+    # ascending & low slot -> keep min; descending & low slot -> keep max.
+    # (no jnp.where on bool operands: Mosaic can't truncate i8 vectors to i1)
+    want_min = ~(ascending_mask ^ i_is_low)
+    take_partner = (want_min & p_less) | (~want_min & p_greater)
     nhi = jnp.where(take_partner, phi, hi)
     nlo = jnp.where(take_partner, plo, lo)
     npay = jnp.where(take_partner, ppay, pay) if pay is not None else None
@@ -142,10 +157,10 @@ def _merge_pass_kernel(ahi_ref, alo_ref, apay_ref, ohi_ref, olo_ref, opay_ref,
     pay = apay_ref[:]
     R = hi.shape[0]
 
-    # reverse the second half of the block (rows R/2.. reversed, lanes flipped)
+    # reverse the second half of the block (roll-based flip; no `rev` in Mosaic)
     def rev_half(v):
         top = v[: R // 2]
-        bot = v[R // 2:][::-1, ::-1]
+        bot = _flip_all(v[R // 2:])
         return jnp.concatenate([top, bot], axis=0)
 
     hi, lo, pay = rev_half(hi), rev_half(lo), rev_half(pay)
@@ -296,7 +311,7 @@ def _stream_merge_kernel(scal_ref, hi_hbm, lo_hbm, pay_hbm,
         whi = jnp.where(live, whi, SENT)
         wlo = jnp.where(live, wlo, SENT)
         if reverse:
-            whi, wlo, wpay = (x[::-1, ::-1] for x in (whi, wlo, wpay))
+            whi, wlo, wpay = (_flip_all(x) for x in (whi, wlo, wpay))
         return whi, wlo, wpay
 
     ahi, alo, apay = prep(awin_hi[:], awin_lo[:], awin_pay[:],
