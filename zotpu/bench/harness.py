@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zotpu.kernels import pack, setops, sortdedup
+from zotpu.kernels import dispatch, setops, sortdedup
 
 
 def _synth_codes(rng, reads, length):
@@ -30,15 +30,18 @@ def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
 
     @jax.jit
     def step(c, l):
-        hi, lo, w = pack.pack_canonical(c, l, k)
-        return sortdedup.kmer_sort_dedup(hi, lo, w)
+        # The returned scalar depends on the whole pipeline and is synced via
+        # host transfer: block_until_ready reports Pallas-containing programs
+        # ready early on some PJRT backends, so it cannot be the timer fence.
+        hi, lo, w = dispatch.pack_canonical(c, l, k)
+        uhi, ulo, counts, n = sortdedup.kmer_sort_dedup(hi, lo, w)
+        return n + jnp.sum(counts, dtype=jnp.uint32).astype(jnp.int32)
 
-    out = step(codes, lengths)
-    jax.block_until_ready(out)  # compile + warmup
+    int(np.asarray(step(codes, lengths)))  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(codes, lengths))
+        int(np.asarray(step(codes, lengths)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     bases = reads * read_len

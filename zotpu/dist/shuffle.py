@@ -31,7 +31,8 @@ from jax import shard_map
 
 from zotpu import semantics as S
 from zotpu.dist.mesh import AXIS, shard_bits
-from zotpu.kernels.pack import SENT32, pack_canonical
+from zotpu.kernels.pack import SENT32
+from zotpu.kernels.dispatch import pack_canonical
 from zotpu.kernels.sortdedup import dedup_count_sorted
 
 

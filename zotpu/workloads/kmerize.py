@@ -38,7 +38,8 @@ class Stats:
 
 
 def _device_batch(codes, lengths, k):
-    hi, lo, w = pack.pack_canonical(codes, lengths, k)
+    from zotpu.kernels import dispatch
+    hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
     return sortdedup.kmer_sort_dedup(hi, lo, w)
 
 
@@ -77,29 +78,48 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
     stats = stats if stats is not None else Stats()
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     batch_no = 0
+    pending = None  # (device outputs, batch_no, run_path) awaiting host sync
+
+    def consume(p):
+        (uhi, ulo, counts, n), bno, run_path = p
+        n = int(n)
+        keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
+        cnts = np.asarray(counts[:n])
+        if run_path is not None:
+            container.write(run_path, container.KmerSet(
+                k=k, keys=keys, counts=cnts, meta={"run": bno}))
+        stats.kmers += int(cnts.sum(dtype=np.uint64))
+        runs.append((keys, cnts))
+
     for path in paths:
         for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
             batch_no += 1
             run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                         if spill_dir is not None else None)
-            if resume and run_path and os.path.exists(run_path):
-                ks = container.read(run_path)
-                keys, cnts = ks.keys, ks.counts
-            else:
-                if fail_after_batches is not None and batch_no > fail_after_batches:
-                    raise Interrupted(f"injected failure before batch {batch_no}")
-                uhi, ulo, counts, n = _device_batch(batch.codes, batch.lengths, k)
-                n = int(n)
-                keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
-                cnts = np.asarray(counts[:n])
-                if run_path is not None:
-                    container.write(run_path, container.KmerSet(
-                        k=k, keys=keys, counts=cnts, meta={"run": batch_no}))
             stats.batches += 1
             stats.reads += batch.n_reads
             stats.bases += int(batch.lengths[:batch.n_reads].sum())
-            stats.kmers += int(cnts.sum(dtype=np.uint64))
-            runs.append((keys, cnts))
+            if resume and run_path and os.path.exists(run_path):
+                if pending is not None:
+                    consume(pending)
+                    pending = None
+                ks = container.read(run_path)
+                stats.kmers += int(ks.counts.sum(dtype=np.uint64))
+                runs.append((ks.keys, ks.counts))
+                continue
+            if fail_after_batches is not None and batch_no > fail_after_batches:
+                if pending is not None:
+                    consume(pending)
+                raise Interrupted(f"injected failure before batch {batch_no}")
+            out = _device_batch(batch.codes, batch.lengths, k)
+            # Software pipelining (SURVEY.md section 2b "PP analog"): the async
+            # device dispatch of batch i overlaps host parsing of batch i+1;
+            # the previous batch is synced only after the new one is in flight.
+            if pending is not None:
+                consume(pending)
+            pending = (out, batch_no, run_path)
+    if pending is not None:
+        consume(pending)
     keys, counts = merge_runs(runs)
     stats.unique = len(keys)
     return keys, counts

@@ -20,7 +20,7 @@ import numpy as np
 
 from zotpu import semantics as S
 from zotpu.io import fastq
-from zotpu.kernels import pack, search
+from zotpu.kernels import dispatch, search
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -28,7 +28,7 @@ def scan_batch(codes, lengths, panel_hi, panel_lo, k: int):
     """(R, L) codes vs sorted panel -> (R,) per-read hit counts (int32)."""
     R, L = codes.shape
     m = L - k + 1
-    hi, lo, w = pack.pack_canonical(codes, lengths, k)
+    hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
     hit = search.member2(panel_hi, panel_lo, hi, lo)
     return jnp.sum(hit.reshape(R, m).astype(jnp.int32), axis=1)
 
