@@ -11,7 +11,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 
 def main():

@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from zotpu import cli
-from zotpu import semantics as S
 from zotpu.io import container
 from zotpu.reference_impl import golden as G
 

@@ -88,3 +88,15 @@ def test_container_kset_no_counts(tmp_path):
     container.write(p, container.KmerSet(k=5, keys=keys))
     back = container.read(p)
     assert back.counts is None and np.array_equal(back.keys, keys)
+
+
+def test_container_zlib_codec(tmp_path):
+    keys, counts = G.kmerize(13, ["ACGTACGTACGTACGTTTTGGGCCAA" * 4])
+    p = str(tmp_path / "c.zkf")
+    container.write(p, container.KmerSet(k=13, keys=keys, counts=counts),
+                    codec="zlib")
+    back = container.read(p)
+    assert np.array_equal(back.keys, keys)
+    assert np.array_equal(back.counts, counts)
+    hdr = container.read_header(p)
+    assert hdr["codec"] == "zlib"

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from zotpu import semantics as S
-from zotpu.io import fastq
 from zotpu.kernels import hist as khist
 from zotpu.kernels import pack, search, setops, sortdedup
 from zotpu.reference_impl import golden as G

@@ -73,7 +73,8 @@ def cmd_kmerize(args):
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=counts,
         meta={"tool": "zotpu kmerize", "inputs": args.inputs,
-              "stats": stats.as_dict()}))
+              "stats": stats.as_dict()}),
+        codec="zlib" if args.compress else "raw")
     if logger:
         logger.log("kmerize", **metrics.kmerize_stage_metrics(stats, wall))
         logger.close()
@@ -265,6 +266,9 @@ def cmd_bench(args):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zotpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    from zotpu import __version__
+    p.add_argument("-V", "--version", action="version",
+                   version=f"zotpu {__version__}")
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp, host=True, batch=False):
@@ -281,6 +285,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write per-batch sorted runs here (restartable)")
     sp.add_argument("--resume", action="store_true",
                     help="reuse completed runs in --spill-dir after a crash")
+    sp.add_argument("--compress", action="store_true",
+                    help="zlib-compress the output container blobs")
     sp.add_argument("--metrics", default=None,
                     help="append JSONL stage metrics to this file")
     sp.add_argument("--trace", default=None,

@@ -21,7 +21,6 @@ Reference analog: none -- this is the scale-out layer BASELINE requires
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -6,9 +6,13 @@ metadata including K (unverified -- reference mount empty, SURVEY.md section 0).
 Layout (little-endian):
     bytes 0..4   magic  b"ZKF1"
     bytes 4..8   u32 header JSON length H
-    bytes 8..8+H JSON header: {"k", "n", "has_counts", "meta": {...}}
-    then         n * u64 keys (sorted canonical k-mers)
-    then         n * u32 counts (iff has_counts)
+    bytes 8..8+H JSON header: {"k", "n", "has_counts", "codec", "meta": {...}}
+    then         keys blob:   n * u64 sorted canonical k-mers
+    then         counts blob: n * u32 (iff has_counts)
+
+codec is "raw" (default) or "zlib" (each blob deflate-compressed and
+length-prefixed with a u64 -- the analog of the reference's compressed
+int-vector encodings; sorted k-mer deltas compress well).
 
 The file doubles as the checkpoint format: per-batch sorted runs written with
 ``write`` can be resumed/merged at any time (SURVEY.md section 5,
@@ -18,6 +22,7 @@ checkpoint/resume philosophy of the reference: output files ARE checkpoints).
 from __future__ import annotations
 
 import json
+import zlib
 import os
 from dataclasses import dataclass, field
 
@@ -49,11 +54,14 @@ class KmerSet:
             raise ValueError("counts length mismatch")
 
 
-def write(path: str, ks: KmerSet) -> None:
+def write(path: str, ks: KmerSet, codec: str = "raw") -> None:
     ks.validate()
+    if codec not in ("raw", "zlib"):
+        raise ValueError(f"unknown codec {codec!r}")
     hdr = json.dumps({
         "k": ks.k, "n": int(ks.n),
         "has_counts": ks.counts is not None,
+        "codec": codec,
         "meta": ks.meta,
     }).encode("utf-8")
     tmp = path + ".tmp"
@@ -61,9 +69,16 @@ def write(path: str, ks: KmerSet) -> None:
         f.write(MAGIC)
         f.write(np.uint32(len(hdr)).tobytes())
         f.write(hdr)
-        np.ascontiguousarray(ks.keys, dtype="<u8").tofile(f)
+        blobs = [np.ascontiguousarray(ks.keys, dtype="<u8").tobytes()]
         if ks.counts is not None:
-            np.ascontiguousarray(ks.counts, dtype="<u4").tofile(f)
+            blobs.append(np.ascontiguousarray(ks.counts, dtype="<u4").tobytes())
+        for blob in blobs:
+            if codec == "zlib":
+                z = zlib.compress(blob, level=1)
+                f.write(np.uint64(len(z)).tobytes())
+                f.write(z)
+            else:
+                f.write(blob)
     os.replace(tmp, path)
 
 
@@ -82,6 +97,16 @@ def read(path: str) -> KmerSet:
         (hlen,) = np.frombuffer(f.read(4), dtype="<u4")
         hdr = json.loads(f.read(int(hlen)).decode("utf-8"))
         n = int(hdr["n"])
-        keys = np.fromfile(f, dtype="<u8", count=n)
-        counts = np.fromfile(f, dtype="<u4", count=n) if hdr["has_counts"] else None
-    return KmerSet(k=int(hdr["k"]), keys=keys, counts=counts, meta=hdr.get("meta", {}))
+        codec = hdr.get("codec", "raw")
+
+        def blob(dtype):
+            if codec == "zlib":
+                (zlen,) = np.frombuffer(f.read(8), dtype="<u8")
+                return np.frombuffer(zlib.decompress(f.read(int(zlen))),
+                                     dtype=dtype)
+            return np.fromfile(f, dtype=dtype, count=n)
+
+        keys = blob("<u8")
+        counts = blob("<u4") if hdr["has_counts"] else None
+    return KmerSet(k=int(hdr["k"]), keys=keys.copy(), counts=None if counts is None else counts.copy(),
+                   meta=hdr.get("meta", {}))

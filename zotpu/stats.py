@@ -14,7 +14,6 @@ count aggregation they consume IS device-side, kernels/hist.py).
 from __future__ import annotations
 
 import numpy as np
-from numpy import euler_gamma  # noqa: F401  (re-export convenience)
 
 _LANCZOS_G = 7
 _LANCZOS_COEF = np.array([

@@ -16,12 +16,11 @@ from __future__ import annotations
 import dataclasses
 import os
 
-import jax
 import numpy as np
 
 from zotpu import semantics as S
 from zotpu.io import container, fastq
-from zotpu.kernels import pack, sortdedup
+from zotpu.kernels import sortdedup
 from zotpu.reference_impl import golden as G
 
 
