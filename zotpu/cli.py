@@ -106,8 +106,12 @@ def cmd_merge(args):
             print(f"error: K mismatch: {p} has k={ks.k}, expected {k}", file=sys.stderr)
             return 1
         sets.append((ks.keys, counts))
-    from zotpu.workloads.kmerize import merge_runs
-    keys, counts = merge_runs(sets)
+    if args.host:
+        from zotpu.workloads.kmerize import merge_runs
+        keys, counts = merge_runs(sets)
+    else:
+        from zotpu.workloads.setops import merge_tree_device
+        keys, counts = merge_tree_device(sets)
     container.write(args.output, container.KmerSet(
         k=k, keys=keys, counts=counts, meta={"tool": "zotpu merge"}))
     print(json.dumps({"command": "merge", "inputs": len(sets), "unique": len(keys)}))
@@ -124,13 +128,8 @@ def _binary_setop(args, op):
         gold = {"union": G.union, "intersect": G.intersect, "diff": G.difference}[op]
         keys, counts = gold((a.keys, ca), (b.keys, cb))
     else:
-        from zotpu.kernels import setops
-        ahi, alo, ac = _pad_pow2(a.keys, ca)
-        bhi, blo, bc = _pad_pow2(b.keys, cb)
-        hi, lo, c, n = setops.set_op(ahi, alo, ac, bhi, blo, bc, op=op)
-        n = int(n)
-        keys = S.join_hi_lo(np.asarray(hi[:n]), np.asarray(lo[:n]))
-        counts = np.asarray(c[:n])
+        from zotpu.workloads import setops as WS
+        keys, counts = WS.set_op((a.keys, ca), (b.keys, cb), op=op)
     container.write(args.output, container.KmerSet(
         k=a.k, keys=keys, counts=counts, meta={"tool": f"zotpu {op}"}))
     print(json.dumps({"command": op, "unique": len(keys)}))
@@ -143,10 +142,9 @@ def _pair_jaccard(a, b, host):
         nu = len(np.union1d(a.keys, b.keys))
         na, nb = a.n, b.n
     else:
-        from zotpu.kernels import setops
-        ahi, alo, _ = _pad_pow2(a.keys, np.ones(a.n, np.uint32))
-        bhi, blo, _ = _pad_pow2(b.keys, np.ones(b.n, np.uint32))
-        na, nb, ni, nu = (int(x) for x in setops.cardinalities(ahi, alo, bhi, blo))
+        from zotpu.workloads import setops as WS
+        r = WS.jaccard(a.keys, b.keys)
+        na, nb, ni, nu = r["a"], r["b"], r["intersect"], r["union"]
     return int(na), int(nb), int(ni), int(nu)
 
 
@@ -174,10 +172,8 @@ def cmd_hist(args):
     if args.host:
         h = G.spectrum(counts, max_count=args.max_count)
     else:
-        from zotpu.kernels import hist as khist
-        padded = np.zeros(max(len(counts), 8), np.uint32)
-        padded[:len(counts)] = counts
-        h = np.asarray(khist.spectrum(padded, max_count=args.max_count))
+        from zotpu.workloads import spectrum as WSp
+        h = WSp.spectrum(counts, max_count=args.max_count)
     for freq in range(1, len(h)):
         if h[freq]:
             print(f"{freq}\t{int(h[freq])}")
@@ -299,6 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("merge", help="merge N sets, summing counts")
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
+    common(sp)
     sp.set_defaults(fn=cmd_merge)
 
     for op in ("union", "intersect", "diff"):
