@@ -135,3 +135,37 @@ def test_shard_count_invariance(mesh8):
             np.asarray(counts).reshape(D, -1), np.asarray(n_unique))
         assert np.array_equal(keys, want_k), f"D={D}"
         assert np.array_equal(cnts, want_c), f"D={D}"
+
+
+def test_pulldown_sixteen_samples(mesh8):
+    """BASELINE config 5 at stated scale: 16 read sets vs a sharded panel."""
+    k = 25
+    D = 8
+    reads_per_chip, read_len = 16, 120
+    n_samples = 16
+    rng = np.random.default_rng(99)
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    panel_keys, _ = G.kmerize(k, [genome[:1000]])
+
+    R = D * reads_per_chip
+    seqs = []
+    for i in range(R):
+        off = rng.integers(0, len(genome) - read_len)
+        seqs.append(genome[off:off + read_len])
+    codes = np.stack([G.encode(s) for s in seqs])
+    lengths = np.full(R, read_len, np.int32)
+    sample_ids = rng.integers(0, n_samples, R).astype(np.int32)
+
+    phi, plo, cap = shuffle.partition_panel(panel_keys, k, D)
+    step = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
+                                      n_samples, cap, capacity_factor=8.0)
+    hits, overflow = step(codes, lengths, sample_ids, phi, plo)
+    assert np.all(np.asarray(overflow) == 0)
+    hits = np.asarray(hits).reshape(D, n_samples)[0]
+
+    per_read = G.scan_panel(k, panel_keys, seqs)
+    want = np.zeros(n_samples, np.int64)
+    for i in range(R):
+        want[sample_ids[i]] += per_read[i]
+    assert np.array_equal(hits, want)
+    assert want.sum() > 0  # reads overlapping the panel region must hit

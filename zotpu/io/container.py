@@ -108,5 +108,8 @@ def read(path: str) -> KmerSet:
 
         keys = blob("<u8")
         counts = blob("<u4") if hdr["has_counts"] else None
+    if len(keys) != n or (counts is not None and len(counts) != n):
+        raise ValueError(f"{path}: truncated container "
+                         f"(expected {n} entries, got {len(keys)})")
     return KmerSet(k=int(hdr["k"]), keys=keys.copy(), counts=None if counts is None else counts.copy(),
                    meta=hdr.get("meta", {}))

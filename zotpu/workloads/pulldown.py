@@ -36,7 +36,10 @@ def scan_batch(codes, lengths, panel_hi, panel_lo, k: int):
 def panel_to_device(keys: np.ndarray, capacity: int | None = None):
     """Sorted u64 panel -> sentinel-padded (hi, lo) device arrays."""
     n = len(keys)
-    cap = capacity or max(1 << (n - 1).bit_length(), 8) if n else 8
+    if capacity is not None:
+        cap = capacity
+    else:
+        cap = max(1 << (n - 1).bit_length(), 8) if n else 8
     hi = np.full(cap, 0xFFFFFFFF, np.uint32)
     lo = np.full(cap, 0xFFFFFFFF, np.uint32)
     hi[:n], lo[:n] = S.split_hi_lo(keys)
