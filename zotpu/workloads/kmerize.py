@@ -42,10 +42,21 @@ def _device_batch(codes, lengths, k):
     return sortdedup.kmer_sort_dedup(hi, lo, w)
 
 
-def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
-    """Tree-merge sorted (keys, counts) runs, summing counts (saturating)."""
+DEVICE_MERGE_THRESHOLD = 1 << 20  # total keys above which the device tree wins
+
+
+def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Tree-merge sorted (keys, counts) runs, summing counts (saturating).
+
+    Small totals merge on the host (numpy oracle, no compile cost); large
+    totals use the pairwise device merge tree (~10x faster at scale)."""
     if not runs:
         return np.empty(0, np.uint64), np.empty(0, S.COUNT_DTYPE)
+    total = sum(len(r[0]) for r in runs)
+    if total >= DEVICE_MERGE_THRESHOLD:
+        from zotpu.workloads.setops import merge_tree_device
+        return merge_tree_device(runs)
     while len(runs) > 1:
         nxt = []
         for i in range(0, len(runs) - 1, 2):
