@@ -69,3 +69,31 @@ def test_sparse_rank_select_access():
     assert s.count_range(3, 100) == 2
     empty = sparse.SparseSet(np.empty(0, np.uint64))
     assert list(empty.access(np.array([1], np.uint64))) == [False]
+
+
+def test_metrics_logger_and_timed(tmp_path):
+    import json
+
+    from zotpu import metrics
+    path = str(tmp_path / "m.jsonl")
+    log = metrics.MetricsLogger(path, host_id=3)
+    with metrics.timed(log, "stage", items=5):
+        pass
+    log.log("done", total=1)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "stage" and lines[0]["items"] == 5
+    assert lines[0]["seconds"] >= 0 and lines[0]["host"] == 3
+    assert lines[1]["event"] == "done"
+
+
+def test_profiled_trace_writes(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from zotpu import metrics
+    d = str(tmp_path / "trace")
+    with metrics.profiled(d):
+        jnp.arange(4).sum().block_until_ready()
+    assert os.path.isdir(d) and any(os.scandir(d))

@@ -91,7 +91,57 @@ def run(args) -> int:
         results.append(bench_kmerize(args.bases, k=args.k, repeats=args.repeats))
     if args.workload in ("setops", "all"):
         results.append(bench_setops(repeats=args.repeats))
+    if args.workload in ("scaling", "all"):
+        results.extend(bench_scaling(repeats=args.repeats))
     for r in results:
         r["device"] = str(jax.devices()[0])
         print(json.dumps(r))
     return 0
+
+
+def bench_scaling(reads_per_chip: int = 512, read_len: int = 256, k: int = 25,
+                  repeats: int = 3) -> list[dict]:
+    """Weak-scaling efficiency of the sharded kmerize step (BASELINE metric 3).
+
+    Runs the full distributed step (pack -> key-prefix all_to_all -> per-shard
+    sort/dedup) at D = 1, 2, 4, ... over the available devices with constant
+    per-chip load; efficiency_D = t(1) / t(D) (ideal weak scaling keeps t
+    flat). On a single-chip host this only yields the D=1 row; on a pod slice
+    (or the 8-fake-device CPU mesh) it exercises the collective path.
+    """
+    import numpy as np
+
+    from zotpu.dist import mesh as M
+    from zotpu.dist import shuffle
+
+    rng = np.random.default_rng(0)
+    results = []
+    t1 = None
+    D = 1
+    ndev = len(jax.devices())
+    while D <= ndev:
+        mesh = M.make_mesh(D)
+        R = D * reads_per_chip
+        codes = rng.integers(0, 4, size=(R, read_len)).astype(np.uint8)
+        lengths = np.full(R, read_len, np.int32)
+        step, _ = shuffle.make_kmerize_step(mesh, k, reads_per_chip, read_len,
+                                            capacity_factor=4.0)
+        out = step(codes, lengths)
+        int(np.asarray(out[3]).sum())  # compile + fence
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = step(codes, lengths)
+            int(np.asarray(out[3]).sum())
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        if t1 is None:
+            t1 = dt
+        results.append({
+            "workload": "kmerize_scaling", "devices": D,
+            "bases": R * read_len, "seconds": dt,
+            "bases_per_s": R * read_len / dt,
+            "weak_scaling_efficiency": t1 / dt,
+        })
+        D *= 2
+    return results
