@@ -100,3 +100,77 @@ def test_container_zlib_codec(tmp_path):
     assert np.array_equal(back.counts, counts)
     hdr = container.read_header(p)
     assert hdr["codec"] == "zlib"
+
+
+def test_fastq_no_trailing_newline(tmp_path):
+    """Native and numpy paths must both parse a final unterminated record."""
+    p = str(tmp_path / "nt.fastq")
+    with open(p, "w") as f:
+        f.write("@r0\nACGT\n+\nIIII\n@r1\nGGGG\n+\nIIII")  # no trailing \n
+    batches = list(fastq.parse_batches(p, 8, 16))
+    assert sum(b.n_reads for b in batches) == 2
+    seqs = []
+    for b in batches:
+        for r in range(b.n_reads):
+            row = b.codes[r]
+            seqs.append(bytes(S.DECODE_LUT[row[row < 4]]).decode())
+    assert seqs == ["ACGT", "GGGG"]
+
+
+def test_crlf_fasta_matches_golden(tmp_path):
+    """CRLF FASTA: no k-mer spanning a line joint may be lost."""
+    rng = np.random.default_rng(44)
+    seq = "".join(rng.choice(list("ACGT"), size=100))
+    p = str(tmp_path / "c.fa")
+    with open(p, "wb") as f:
+        f.write(b">chr1 desc\r\n")
+        for i in range(0, 100, 20):
+            f.write(seq[i:i + 20].encode() + b"\r\n")
+    k = 9
+    batches = list(fastq.parse_batches(p, 8, 256, halo=k - 1))
+    got = np.concatenate([G.kmerize_seq(k, b.codes[r])
+                          for b in batches for r in range(b.n_reads)])
+    want = G.kmerize_seq(k, seq)
+    assert np.array_equal(np.sort(got), np.sort(want))
+    assert len(want) == 100 - k + 1
+
+
+def test_crlf_fastq_matches(tmp_path):
+    p = str(tmp_path / "c.fastq")
+    with open(p, "wb") as f:
+        f.write(b"@r0\r\nACGTACGT\r\n+\r\nIIIIIIII\r\n")
+    batches = list(fastq.parse_batches(p, 4, 16))
+    row = batches[0].codes[0]
+    assert bytes(S.DECODE_LUT[row[row < 4]]).decode() == "ACGTACGT"
+    with fastq.open_file(p) as f:
+        recs = list(fastq.read_fastq(f))
+    assert recs[0][1] == "ACGTACGT"
+
+
+def test_overlong_read_after_first_batch_falls_back(tmp_path):
+    """An overlong read appearing late must not crash mid-stream."""
+    reads = ["ACGT" * 4] * 5 + ["A" * 200] + ["GGGG" * 4]
+    p = str(tmp_path / "late.fastq")
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    batches = list(fastq.parse_batches(p, 2, 32, halo=8))
+    total_valid = sum(int((b.codes[r] < 4).sum())
+                     for b in batches for r in range(b.n_reads))
+    # every input base appears at least once (halo rows repeat k-1 bases)
+    assert total_valid >= sum(len(r) for r in reads)
+
+
+def test_fasta_blank_header():
+    import io as _io
+    recs = list(fastq.read_fasta(_io.StringIO("> \nACGT\n")))
+    assert recs == [("", "ACGT")]
+
+
+def test_sample_rate_bounds():
+    keys = np.arange(100, dtype=np.uint64)
+    counts = np.ones(100, np.uint32)
+    k_all, _ = G.sample(keys, counts, 1.0)
+    assert len(k_all) == 100
+    k_none, _ = G.sample(keys, counts, 0.0)
+    assert len(k_none) <= 1  # only an exact-zero hash could survive

@@ -37,17 +37,6 @@ def _load_padded(path: str):
     return ks, counts
 
 
-def _pad_pow2(keys, counts):
-    n = len(keys)
-    cap = max(1 << (max(n, 1) - 1).bit_length(), 8)
-    hi = np.full(cap, 0xFFFFFFFF, np.uint32)
-    lo = np.full(cap, 0xFFFFFFFF, np.uint32)
-    c = np.zeros(cap, np.uint32)
-    hi[:n], lo[:n] = S.split_hi_lo(keys)
-    c[:n] = counts
-    return hi, lo, c
-
-
 def cmd_kmerize(args):
     import time
 
@@ -108,7 +97,7 @@ def cmd_merge(args):
         sets.append((ks.keys, counts))
     if args.host:
         from zotpu.workloads.kmerize import merge_runs
-        keys, counts = merge_runs(sets)
+        keys, counts = merge_runs(sets, force_host=True)
     else:
         from zotpu.workloads.setops import merge_tree_device
         keys, counts = merge_tree_device(sets)

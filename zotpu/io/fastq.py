@@ -38,11 +38,12 @@ def read_fasta(f) -> Iterator[tuple[str, str]]:
     name, chunks = None, []
     for raw in f:
         line = raw.decode("ascii") if isinstance(raw, bytes) else raw
-        line = line.rstrip("\n")
+        line = line.rstrip("\r\n")
         if line.startswith(">"):
             if name is not None:
                 yield name, "".join(chunks)
-            name, chunks = line[1:].split()[0] if line[1:] else "", []
+            fields = line[1:].split()
+            name, chunks = fields[0] if fields else "", []
         elif line:
             chunks.append(line)
     if name is not None:
@@ -57,12 +58,12 @@ def read_fastq(f) -> Iterator[tuple[str, str, str]]:
             return
         if isinstance(hdr, bytes):
             seq = f.readline(); plus = f.readline(); qual = f.readline()
-            yield (hdr.decode("ascii").rstrip("\n")[1:],
-                   seq.decode("ascii").rstrip("\n"),
-                   qual.decode("ascii").rstrip("\n"))
+            yield (hdr.decode("ascii").rstrip("\r\n")[1:],
+                   seq.decode("ascii").rstrip("\r\n"),
+                   qual.decode("ascii").rstrip("\r\n"))
         else:
             seq = f.readline(); plus = f.readline(); qual = f.readline()
-            yield hdr.rstrip("\n")[1:], seq.rstrip("\n"), qual.rstrip("\n")
+            yield hdr.rstrip("\r\n")[1:], seq.rstrip("\n"), qual.rstrip("\n")
 
 
 # --- batched vectorized parsing --------------------------------------------
@@ -74,10 +75,18 @@ class CodeBatch:
     codes:   (R, L) u8, values 0..3 valid, 4 invalid/padding
     lengths: (R,) int32 true read lengths (<= L)
     n_reads: number of real reads (rows beyond are all-padding)
+    bases:   input bases attributable to this batch for stats -- excludes
+             padding and the (k-1)-halo overlap of chunked rows; defaults to
+             sum(lengths[:n_reads]).
     """
     codes: np.ndarray
     lengths: np.ndarray
     n_reads: int
+    bases: int = -1
+
+    def __post_init__(self):
+        if self.bases < 0:
+            self.bases = int(self.lengths[:self.n_reads].sum())
 
 
 def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
@@ -87,6 +96,9 @@ def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
         nl = np.append(nl, len(buf))
     starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
     ends = nl.astype(np.int64)
+    # tolerate CRLF: drop a trailing \r from every line
+    has_cr = (ends > starts) & (buf[np.maximum(ends - 1, 0)] == 0x0D)
+    ends = ends - has_cr
     if fmt == "fastq":
         return starts[1::4], ends[1::4]
     # FASTA: sequence lines are any line not starting with '>' (multi-line
@@ -123,14 +135,22 @@ def parse_batches(path: str, max_reads: int, max_len: int,
     if len(lengths_all) and int(lengths_all.max()) > max_len:
         # Rare overlong-read fallback: halo-chunk every read (slow path).
         rows = []
+        new_bases = []
         for s, e in zip(starts, ends):
             rec = S.ENCODE_LUT[buf[s:e]]
             if len(rec) <= max_len:
                 rows.append(np.pad(rec, (0, max_len - len(rec)),
                                    constant_values=S.INVALID_CODE))
+                new_bases.append(len(rec))
             else:
-                rows.extend(chunk_with_halo(rec, halo + 1, max_len))
-        yield from _rows_to_batches(rows, max_reads, max_len)
+                chunked = chunk_with_halo(rec, halo + 1, max_len)
+                rows.extend(chunked)
+                total = len(rec)
+                for i in range(len(chunked)):
+                    take = min(max_len if i == 0 else max_len - halo, total)
+                    new_bases.append(take)
+                    total -= take
+        yield from _rows_to_batches(rows, max_reads, max_len, new_bases)
         return
     for lo in range(0, len(starts), max_reads):
         st = starts[lo:lo + max_reads]
@@ -157,6 +177,8 @@ def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
     line_starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
     line_ends = nl.astype(np.int64)
     for s, e in zip(line_starts, line_ends):
+        if e > s and buf[e - 1] == 0x0D:
+            e -= 1
         if s >= e:
             continue
         if buf[s] == ord(">"):
@@ -168,30 +190,45 @@ def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
     if cur:
         text_rows.append(np.concatenate(cur))
     rows = []
+    new_bases = []
     for rec in text_rows:
         codes = S.ENCODE_LUT[rec]
         if len(codes) <= max_len:
             rows.append(np.pad(codes, (0, max_len - len(codes)),
                                constant_values=S.INVALID_CODE))
+            new_bases.append(len(codes))
         else:
-            rows.extend(chunk_with_halo(codes, halo + 1, max_len))
-    yield from _rows_to_batches(rows, max_reads, max_len)
+            chunked = chunk_with_halo(codes, halo + 1, max_len)
+            rows.extend(chunked)
+            # halo bases are re-sent with each chunk; count each input base once
+            total = len(codes)
+            for i in range(len(chunked)):
+                if i == 0:
+                    take = min(max_len, total)
+                else:
+                    take = min(max_len - halo, total)
+                new_bases.append(take)
+                total -= take
+    yield from _rows_to_batches(rows, max_reads, max_len, new_bases)
 
 
-def _rows_to_batches(rows, max_reads, max_len):
+def _rows_to_batches(rows, max_reads, max_len, new_bases=None):
     """Pre-encoded, pre-padded code rows -> CodeBatch stream.
 
     Padding is INVALID_CODE, which already invalidates every window touching
-    it, so lengths can be uniformly max_len."""
+    it, so lengths can be uniformly max_len; ``new_bases`` carries the true
+    per-row input-base attribution for stats (no padding/halo double count)."""
     for lo in range(0, len(rows), max_reads):
         chunk = rows[lo:lo + max_reads]
         r = len(chunk)
         codes = np.full((max_reads, max_len), S.INVALID_CODE, dtype=np.uint8)
         if r:
             codes[:r] = np.stack(chunk)
+        bases = (sum(new_bases[lo:lo + max_reads]) if new_bases is not None
+                 else -1)
         yield CodeBatch(codes=codes,
                         lengths=np.full(max_reads, max_len, np.int32),
-                        n_reads=r)
+                        n_reads=r, bases=bases)
 
 
 def chunk_with_halo(seq_codes: np.ndarray, k: int, chunk_len: int) -> np.ndarray:

@@ -95,6 +95,16 @@ def parse_batches_native(path: str, max_reads: int, max_len: int
         return None
     with open_file(path, "rb") as f:
         data = f.read()
+    if data and not data.endswith(b"\n"):
+        data += b"\n"  # the C parser only accepts newline-terminated records
+    # Pre-scan the WHOLE file for overlong reads so the fallback decision is
+    # made before anything is yielded (an overlong read after the first batch
+    # must not fail mid-stream; the numpy path halo-chunks it).
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nl = np.where(buf == 0x0A)[0]
+    line_lens = np.diff(np.concatenate(([-1], nl))) - 1
+    if len(line_lens) >= 2 and int(line_lens[1::4].max(initial=0)) > max_len:
+        return None
     first = parse_fastq_buffer(data, max_reads, max_len)
     if first is None or first[4] > max_len:
         return None

@@ -36,26 +36,71 @@ def _roll_left(x, j):
     return pltpu.roll(x, shift=x.shape[1] - j, axis=1)
 
 
+def _shl64(hi, lo, t: int):
+    """(hi, lo) << t for static t in [0, 64)."""
+    if t == 0:
+        return hi, lo
+    if t < 32:
+        return (hi << jnp.uint32(t)) | (lo >> jnp.uint32(32 - t)), lo << jnp.uint32(t)
+    if t == 32:
+        return lo, jnp.zeros_like(lo)
+    return lo << jnp.uint32(t - 32), jnp.zeros_like(lo)
+
+
 def _pack_kernel(codes_ref, lengths_ref, hi_ref, lo_ref, w_ref, *, k: int):
     SENT32 = jnp.uint32(0xFFFFFFFF)
     c = codes_ref[:].astype(jnp.uint32)
     L = c.shape[1]
-    two = jnp.uint32(2)
-    thirty = jnp.uint32(30)
 
+    # Log-doubling window build: O(log k) roll+or steps instead of O(k).
+    # fw[s][i] = bases [i, i+s) packed big-endian (first base most
+    # significant): fw[2s][i] = fw[s][i] << 2s | fw[s][i+s].
+    # rw[s][i] = complemented bases [i, i+s) packed little-endian (base i+j
+    # has weight 4^j): rw[2s][i] = rw[s][i] | rw[s][i+s] << 2s.
+    # Both fit u32 while s <= 16; k's binary decomposition stitches the
+    # windows into the (hi, lo) u64 pair.
+    s_max = 1
+    while s_max * 2 <= min(k, 16):
+        s_max *= 2
+    fw = {1: c & jnp.uint32(3)}
+    rw = {1: (c & jnp.uint32(3)) ^ jnp.uint32(3)}
+    s = 1
+    while s < s_max:
+        nxt = _roll_left(fw[s], s)
+        fw[2 * s] = (fw[s] << jnp.uint32(2 * s)) | nxt
+        nxtr = _roll_left(rw[s], s)
+        rw[2 * s] = rw[s] | (nxtr << jnp.uint32(2 * s))
+        s *= 2
+
+    # forward: consume k's binary parts MSB-first, shifting the accumulator
+    # left by 2*part before or-ing the next part (which sits at bit 0).
     fhi = jnp.zeros_like(c)
     flo = jnp.zeros_like(c)
-    for j in range(k):
-        cj = _roll_left(c, j) & jnp.uint32(3)
-        fhi = (fhi << two) | (flo >> thirty)
-        flo = (flo << two) | cj
+    pos = 0
+    for b in range(4, -1, -1):
+        part = 1 << b
+        if k & part:
+            fhi, flo = _shl64(fhi, flo, 2 * part)
+            flo = flo | _roll_left(fw[part], pos)
+            pos += part
 
+    # reverse complement: part covering offsets [pos, pos+part) contributes
+    # rw[part][i+pos] << 2*pos (may straddle the 32-bit boundary).
     rhi = jnp.zeros_like(c)
     rlo = jnp.zeros_like(c)
-    for j in range(k - 1, -1, -1):
-        cj = (_roll_left(c, j) & jnp.uint32(3)) ^ jnp.uint32(3)
-        rhi = (rhi << two) | (rlo >> thirty)
-        rlo = (rlo << two) | cj
+    pos = 0
+    for b in range(0, 5):
+        part = 1 << b
+        if k & part:
+            v = _roll_left(rw[part], pos)
+            t = 2 * pos
+            if t < 32:
+                rlo = rlo | (v << jnp.uint32(t))
+                if t + 2 * part > 32 and t > 0:
+                    rhi = rhi | (v >> jnp.uint32(32 - t))
+            else:
+                rhi = rhi | (v << jnp.uint32(t - 32)) if t > 32 else rhi | v
+            pos += part
 
     fwd_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
     chi = jnp.where(fwd_le, fhi, rhi)

@@ -163,7 +163,8 @@ def sample(keys: np.ndarray, counts: np.ndarray, rate: float, seed: int = 0):
     Keeps k-mers whose murmur-mixed hash falls below ``rate`` of the u64 space.
     Reference analog: zot sample (hash-based sampling).
     """
-    thresh = np.uint64(int(rate * float(2**64 - 1)))
+    rate = min(max(float(rate), 0.0), 1.0)
+    thresh = np.uint64(min(int(rate * float(2**64 - 1)), 2**64 - 1))
     h = S.murmur_mix_u64(np.asarray(keys, np.uint64), seed)
     mask = h <= thresh
     return np.asarray(keys, np.uint64)[mask], np.asarray(counts, S.COUNT_DTYPE)[mask]

@@ -45,16 +45,18 @@ def _device_batch(codes, lengths, k):
 DEVICE_MERGE_THRESHOLD = 1 << 20  # total keys above which the device tree wins
 
 
-def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]
-               ) -> tuple[np.ndarray, np.ndarray]:
+def merge_runs(runs: list[tuple[np.ndarray, np.ndarray]],
+               force_host: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Tree-merge sorted (keys, counts) runs, summing counts (saturating).
 
     Small totals merge on the host (numpy oracle, no compile cost); large
-    totals use the pairwise device merge tree (~10x faster at scale)."""
+    totals use the pairwise device merge tree (~10x faster at scale).
+    ``force_host=True`` pins the golden numpy path regardless of size (the
+    --host cross-check must never silently use device kernels)."""
     if not runs:
         return np.empty(0, np.uint64), np.empty(0, S.COUNT_DTYPE)
     total = sum(len(r[0]) for r in runs)
-    if total >= DEVICE_MERGE_THRESHOLD:
+    if not force_host and total >= DEVICE_MERGE_THRESHOLD:
         from zotpu.workloads.setops import merge_tree_device
         return merge_tree_device(runs)
     while len(runs) > 1:
@@ -108,7 +110,7 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
                         if spill_dir is not None else None)
             stats.batches += 1
             stats.reads += batch.n_reads
-            stats.bases += int(batch.lengths[:batch.n_reads].sum())
+            stats.bases += batch.bases
             if resume and run_path and os.path.exists(run_path):
                 if pending is not None:
                     consume(pending)
