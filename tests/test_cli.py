@@ -215,3 +215,24 @@ def test_kmerize_fasta_long_record(tmp_path, capsys):
     want_k, want_c = G.kmerize(25, [genome])
     assert np.array_equal(ks.keys, want_k)
     assert np.array_equal(ks.counts, want_c)
+
+
+def test_filter_cli(tmp_path, rng, capsys):
+    reads = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(20)]
+    reads = reads * 6 + ["".join(rng.choice(list("ACGT"), size=80))
+                         for _ in range(30)]
+    keys, counts = G.kmerize(15, reads)
+    p = tmp_path / "f.zkf"
+    container.write(str(p), container.KmerSet(k=15, keys=keys, counts=counts))
+    out = tmp_path / "solid.zkf"
+    assert run_cli("filter", out, p, "--min-count", 3) == 0
+    ks = container.read(str(out))
+    mask = counts >= 3
+    assert np.array_equal(ks.keys, keys[mask])
+    assert np.array_equal(ks.counts, counts[mask])
+    capsys.readouterr()
+    out2 = tmp_path / "auto.zkf"
+    assert run_cli("filter", out2, p, "--auto") == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["kept"] <= len(keys) and info["min_count"] >= 1
+    assert run_cli("filter", tmp_path / "x.zkf", p) == 1  # needs a threshold

@@ -175,6 +175,29 @@ def cmd_hist(args):
     return 0
 
 
+def cmd_filter(args):
+    """Drop k-mers below a count threshold (the config-4 error-trim step).
+
+    --auto derives the threshold from the spectrum's error-peak cutoff."""
+    ks, counts = _load_padded(args.input)
+    if args.auto:
+        from zotpu.workloads import spectrum as WSp
+        fit = WSp.spectrum_with_cutoff(counts)
+        min_count = fit["cutoff"]
+    else:
+        min_count = args.min_count
+    if min_count is None:
+        print("error: pass --min-count N or --auto", file=sys.stderr)
+        return 1
+    mask = counts >= np.uint32(min_count)
+    container.write(args.output, container.KmerSet(
+        k=ks.k, keys=ks.keys[mask], counts=counts[mask],
+        meta={"tool": "zotpu filter", "min_count": int(min_count)}))
+    print(json.dumps({"command": "filter", "min_count": int(min_count),
+                      "kept": int(mask.sum()), "of": int(ks.n)}))
+    return 0
+
+
 def cmd_scan(args):
     panel, _ = _load_padded(args.panel)
     from zotpu.workloads import pulldown
@@ -307,6 +330,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also print the error-peak cutoff")
     common(sp)
     sp.set_defaults(fn=cmd_hist)
+
+    sp = sub.add_parser("filter", help="drop k-mers below a count threshold")
+    sp.add_argument("output")
+    sp.add_argument("input")
+    sp.add_argument("--min-count", type=int, default=None)
+    sp.add_argument("--auto", action="store_true",
+                    help="derive the threshold from the error-peak cutoff")
+    sp.set_defaults(fn=cmd_filter)
 
     sp = sub.add_parser("scan", help="panel pulldown over read sets")
     sp.add_argument("panel")
