@@ -174,3 +174,18 @@ def test_sample_rate_bounds():
     assert len(k_all) == 100
     k_none, _ = G.sample(keys, counts, 0.0)
     assert len(k_none) <= 1  # only an exact-zero hash could survive
+
+
+def test_prefetch_order_and_errors():
+    from zotpu.io.prefetch import prefetch
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("parse failed")
+
+    import pytest as _pytest
+    gen = prefetch(boom(), depth=2)
+    assert next(gen) == 1
+    with _pytest.raises(RuntimeError, match="parse failed"):
+        list(gen)

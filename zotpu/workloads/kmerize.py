@@ -103,33 +103,41 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         stats.kmers += int(cnts.sum(dtype=np.uint64))
         runs.append((keys, cnts))
 
-    for path in paths:
-        for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
-            batch_no += 1
-            run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
-                        if spill_dir is not None else None)
-            stats.batches += 1
-            stats.reads += batch.n_reads
-            stats.bases += batch.bases
-            if resume and run_path and os.path.exists(run_path):
-                if pending is not None:
-                    consume(pending)
-                    pending = None
-                ks = container.read(run_path)
-                stats.kmers += int(ks.counts.sum(dtype=np.uint64))
-                runs.append((ks.keys, ks.counts))
-                continue
-            if fail_after_batches is not None and batch_no > fail_after_batches:
-                if pending is not None:
-                    consume(pending)
-                raise Interrupted(f"injected failure before batch {batch_no}")
-            out = _device_batch(batch.codes, batch.lengths, k)
-            # Software pipelining (SURVEY.md section 2b "PP analog"): the async
-            # device dispatch of batch i overlaps host parsing of batch i+1;
-            # the previous batch is synced only after the new one is in flight.
+    from zotpu.io.prefetch import prefetch
+
+    def all_batches():
+        for path in paths:
+            yield from fastq.parse_batches(path, batch_reads, max_len,
+                                           halo=k - 1)
+
+    # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
+    # device compute and host merging of the previous batch.
+    for batch in prefetch(all_batches(), depth=2):
+        batch_no += 1
+        run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
+                    if spill_dir is not None else None)
+        stats.batches += 1
+        stats.reads += batch.n_reads
+        stats.bases += batch.bases
+        if resume and run_path and os.path.exists(run_path):
             if pending is not None:
                 consume(pending)
-            pending = (out, batch_no, run_path)
+                pending = None
+            ks = container.read(run_path)
+            stats.kmers += int(ks.counts.sum(dtype=np.uint64))
+            runs.append((ks.keys, ks.counts))
+            continue
+        if fail_after_batches is not None and batch_no > fail_after_batches:
+            if pending is not None:
+                consume(pending)
+            raise Interrupted(f"injected failure before batch {batch_no}")
+        out = _device_batch(batch.codes, batch.lengths, k)
+        # Software pipelining (SURVEY.md section 2b "PP analog"): the async
+        # device dispatch of batch i overlaps host parsing of batch i+1;
+        # the previous batch is synced only after the new one is in flight.
+        if pending is not None:
+            consume(pending)
+        pending = (out, batch_no, run_path)
     if pending is not None:
         consume(pending)
     keys, counts = merge_runs(runs)
