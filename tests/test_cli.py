@@ -236,3 +236,24 @@ def test_filter_cli(tmp_path, rng, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["kept"] <= len(keys) and info["min_count"] >= 1
     assert run_cli("filter", tmp_path / "x.zkf", p) == 1  # needs a threshold
+
+
+def test_scan_out_reads(tmp_path, rng, capsys):
+    panel_src = "".join(rng.choice(list("ACGT"), size=300))
+    panel_k, _ = G.kmerize(21, [panel_src])
+    pp = tmp_path / "p.zkf"
+    container.write(str(pp), container.KmerSet(k=21, keys=panel_k))
+    sample = [panel_src[50:150],
+              "".join(rng.choice(list("ACGT"), size=100)),
+              panel_src[100:200]]
+    fq = tmp_path / "s.fastq"
+    write_fastq(str(fq), sample)
+    out = tmp_path / "hits.fastq"
+    assert run_cli("scan", pp, fq, "--out-reads", out, "--batch-reads", 8,
+                   "--max-len", 128) == 0
+    from zotpu.io import fastq as FQ
+    with FQ.open_file(str(out)) as f:
+        pulled = [s for _, s, _ in FQ.read_fastq(f)]
+    want = G.scan_panel(21, panel_k, sample)
+    assert pulled == [s for s, h in zip(sample, want) if h >= 1]
+    assert sample[0] in pulled and sample[2] in pulled

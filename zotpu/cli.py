@@ -212,13 +212,32 @@ def cmd_scan(args):
         results = pulldown.pulldown_paths(
             panel.keys, args.samples, panel.k,
             batch_reads=args.batch_reads, max_len=args.max_len)
+    out_fh = open(args.out_reads, "w") if args.out_reads else None
     for path, (total, reads_hit, per_read) in zip(args.samples, results):
         print(json.dumps({"command": "scan", "sample": path, "k": panel.k,
                           "total_hits": total, "reads_with_hits": reads_hit}))
         if args.per_read:
             for i, h in enumerate(per_read):
                 print(f"{path}\t{i}\t{h}")
+        if out_fh is not None:
+            _write_hit_reads(out_fh, path, per_read, args.min_hits)
+    if out_fh is not None:
+        out_fh.close()
     return 0
+
+
+def _write_hit_reads(out_fh, path, per_read, min_hits):
+    """Pull down reads with >= min_hits panel k-mers as FASTQ records."""
+    from zotpu.io import fastq
+    fmt = fastq.sniff_format(path)
+    with fastq.open_file(path) as f:
+        if fmt == "fastq":
+            recs = ((rid, seq, qual) for rid, seq, qual in fastq.read_fastq(f))
+        else:
+            recs = ((name, seq, "I" * len(seq)) for name, seq in fastq.read_fasta(f))
+        for i, (rid, seq, qual) in enumerate(recs):
+            if i < len(per_read) and per_read[i] >= min_hits:
+                out_fh.write(f"@{rid}\n{seq}\n+\n{qual}\n")
 
 
 def cmd_sample(args):
@@ -343,6 +362,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("panel")
     sp.add_argument("samples", nargs="+")
     sp.add_argument("--per-read", action="store_true")
+    sp.add_argument("--out-reads", default=None,
+                    help="write reads with >= --min-hits panel k-mers here (FASTQ)")
+    sp.add_argument("--min-hits", type=int, default=1)
     common(sp, batch=True)
     sp.set_defaults(fn=cmd_scan)
 
