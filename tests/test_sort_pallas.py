@@ -152,3 +152,17 @@ def test_full_sort_pallas_streaming(monkeypatch):
     assert np.array_equal(np.asarray(shi), whi)
     assert np.array_equal(np.asarray(slo), wlo)
     assert shi.shape[0] == n
+
+
+def test_full_sort_no_payload_streaming(monkeypatch):
+    """2-channel (no payload) path through all three phases."""
+    monkeypatch.setattr(SP, "TILE_E", 1024)
+    monkeypatch.setattr(SP, "TILE_R", 8)
+    monkeypatch.setattr(SP, "LOAD_R", 16)
+    n = 9000
+    hi, lo, _ = _rand(n, 55)
+    shi, slo = SP.sort_pallas(jnp.asarray(hi), jnp.asarray(lo),
+                              block=512, max_vmem_run=1024, interpret=True)
+    whi, wlo = _np_sort_pairs(hi, lo)
+    assert np.array_equal(np.asarray(shi), whi)
+    assert np.array_equal(np.asarray(slo), wlo)

@@ -64,11 +64,12 @@ def _index_bit(shape, bit):
     return (row & (bit // LANES)) != 0
 
 
-def _compare_exchange(hi, lo, pay, s, ascending_mask):
-    """One bitonic stage: exchange with partner i^s according to direction."""
-    phi = _xor_shuffle(hi, s)
-    plo = _xor_shuffle(lo, s)
-    ppay = _xor_shuffle(pay, s) if pay is not None else None
+def _compare_exchange(chans, s, ascending_mask):
+    """One bitonic stage over channel tuple (hi, lo[, pay...]): exchange with
+    partner i^s according to direction."""
+    hi, lo = chans[0], chans[1]
+    partners = tuple(_xor_shuffle(c, s) for c in chans)
+    phi, plo = partners[0], partners[1]
     # partner < self in lexicographic (hi, lo) order?
     p_less = (phi < hi) | ((phi == hi) & (plo < lo))
     p_greater = (phi > hi) | ((phi == hi) & (plo > lo))
@@ -77,42 +78,39 @@ def _compare_exchange(hi, lo, pay, s, ascending_mask):
     # (no jnp.where on bool operands: Mosaic can't truncate i8 vectors to i1)
     want_min = ~(ascending_mask ^ i_is_low)
     take_partner = (want_min & p_less) | (~want_min & p_greater)
-    nhi = jnp.where(take_partner, phi, hi)
-    nlo = jnp.where(take_partner, plo, lo)
-    npay = jnp.where(take_partner, ppay, pay) if pay is not None else None
-    return nhi, nlo, npay
+    return tuple(jnp.where(take_partner, pc, c)
+                 for pc, c in zip(partners, chans))
 
 
-def _bitonic_sort_block(hi, lo, pay, n):
+def _bitonic_sort_block(chans, n):
     """Full bitonic sort of n = R*128 elements living in (R, 128) arrays."""
     kk = 2
+    shape = chans[0].shape
     while kk <= n:
-        asc = ~_index_bit(hi.shape, kk) if kk < n else jnp.ones(hi.shape, bool)
+        asc = ~_index_bit(shape, kk) if kk < n else jnp.ones(shape, bool)
         s = kk // 2
         while s >= 1:
-            hi, lo, pay = _compare_exchange(hi, lo, pay, s, asc)
+            chans = _compare_exchange(chans, s, asc)
             s //= 2
         kk *= 2
-    return hi, lo, pay
+    return chans
 
 
-def _bitonic_merge_block(hi, lo, pay, n):
+def _bitonic_merge_block(chans, n):
     """Merge step only: input is two sorted halves, second half DESCENDING
     overall bitonic; cleans into fully ascending order."""
     s = n // 2
-    asc = jnp.ones(hi.shape, bool)
+    asc = jnp.ones(chans[0].shape, bool)
     while s >= 1:
-        hi, lo, pay = _compare_exchange(hi, lo, pay, s, asc)
+        chans = _compare_exchange(chans, s, asc)
         s //= 2
-    return hi, lo, pay
+    return chans
 
 
-def _sort_block_kernel(hi_ref, lo_ref, pay_ref, ohi_ref, olo_ref, opay_ref,
-                       *, n):
-    hi, lo, pay = _bitonic_sort_block(hi_ref[:], lo_ref[:], pay_ref[:], n)
-    ohi_ref[:] = hi
-    olo_ref[:] = lo
-    opay_ref[:] = pay
+def _sort_block_kernel(*refs, n, nch):
+    chans = _bitonic_sort_block(tuple(r[:] for r in refs[:nch]), n)
+    for o, c in zip(refs[nch:], chans):
+        o[:] = c
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -120,42 +118,41 @@ def sort_blocks_pallas(hi, lo, pay=None, block: int = 1 << 15,
                        interpret: bool = False):
     """Sort each consecutive ``block`` elements (flat u32 arrays).
 
-    Returns blockwise-sorted (hi, lo, pay). n must be a multiple of block;
-    callers pad with sentinel keys.
+    Returns blockwise-sorted (hi, lo[, pay]). n must be a multiple of block;
+    callers pad with sentinel keys. pay=None runs a 2-channel network (~1/3
+    fewer shuffle/select ops).
     """
     n = hi.shape[0]
     assert n % block == 0 and block % LANES == 0, (n, block)
     rows = block // LANES
     nb = n // block
-    if pay is None:
-        pay = jnp.zeros_like(hi)
+    chans = (hi, lo) if pay is None else (hi, lo, pay)
+    nch = len(chans)
     shape2 = (n // LANES, LANES)
-    args = [x.reshape(shape2) for x in (hi, lo, pay)]
+    args = [x.reshape(shape2) for x in chans]
     spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_sort_block_kernel, n=block),
+        functools.partial(_sort_block_kernel, n=block, nch=nch),
         grid=(nb,),
-        in_specs=[spec] * 3,
-        out_specs=[spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * 3,
+        in_specs=[spec] * nch,
+        out_specs=[spec] * nch,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * nch,
         interpret=interpret,
     )(*args)
-    return tuple(x.reshape(-1) for x in out)
+    out = tuple(x.reshape(-1) for x in out)
+    return out if pay is not None else (out[0], out[1], None)
 
 
-def _merge_pass_kernel(ahi_ref, alo_ref, apay_ref, ohi_ref, olo_ref, opay_ref,
-                       *, n):
+def _merge_pass_kernel(*refs, n, nch):
     """Merge two sorted length-n/2 runs laid out contiguously in one block.
 
     The second run is reversed on load to form a bitonic sequence, then the
     standard merge network cleans it. Reversal of the second half uses the
     row-major layout: element j of half 2 sits at flat index n/2 + j.
     """
-    hi = ahi_ref[:]
-    lo = alo_ref[:]
-    pay = apay_ref[:]
-    R = hi.shape[0]
+    chans = tuple(r[:] for r in refs[:nch])
+    R = chans[0].shape[0]
 
     # reverse the second half of the block (roll-based flip; no `rev` in Mosaic)
     def rev_half(v):
@@ -163,33 +160,36 @@ def _merge_pass_kernel(ahi_ref, alo_ref, apay_ref, ohi_ref, olo_ref, opay_ref,
         bot = _flip_all(v[R // 2:])
         return jnp.concatenate([top, bot], axis=0)
 
-    hi, lo, pay = rev_half(hi), rev_half(lo), rev_half(pay)
-    hi, lo, pay = _bitonic_merge_block(hi, lo, pay, n)
-    ohi_ref[:] = hi
-    olo_ref[:] = lo
-    opay_ref[:] = pay
+    chans = tuple(rev_half(c) for c in chans)
+    chans = _bitonic_merge_block(chans, n)
+    for o, c in zip(refs[nch:], chans):
+        o[:] = c
 
 
 @functools.partial(jax.jit, static_argnames=("run", "interpret"))
 def merge_pass_pallas(hi, lo, pay, run: int, interpret: bool = False):
     """One merge pass: pairs of adjacent sorted runs (length ``run``) -> sorted
-    runs of length 2*run. Both runs of a pair must fit in VMEM."""
+    runs of length 2*run. Both runs of a pair must fit in VMEM. pay may be
+    None (2-channel network)."""
     n = hi.shape[0]
     assert n % (2 * run) == 0
     rows = 2 * run // LANES
     nb = n // (2 * run)
+    chans = (hi, lo) if pay is None else (hi, lo, pay)
+    nch = len(chans)
     shape2 = (n // LANES, LANES)
     spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_merge_pass_kernel, n=2 * run),
+        functools.partial(_merge_pass_kernel, n=2 * run, nch=nch),
         grid=(nb,),
-        in_specs=[spec] * 3,
-        out_specs=[spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * 3,
+        in_specs=[spec] * nch,
+        out_specs=[spec] * nch,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * nch,
         interpret=interpret,
-    )(hi.reshape(shape2), lo.reshape(shape2), pay.reshape(shape2))
-    return tuple(x.reshape(-1) for x in out)
+    )(*[x.reshape(shape2) for x in chans])
+    out = tuple(x.reshape(-1) for x in out)
+    return out if pay is not None else (out[0], out[1], None)
 
 
 # ---------------------------------------------------------------------------
@@ -270,61 +270,54 @@ def _flat_rot_dyn(v, rot):
     return v
 
 
-def _stream_merge_kernel(scal_ref, hi_hbm, lo_hbm, pay_hbm,
-                         ohi_ref, olo_ref, opay_ref,
-                         awin_hi, awin_lo, awin_pay,
-                         bwin_hi, bwin_lo, bwin_pay, sems):
-    t = pl.program_id(0)
-    SENT = jnp.uint32(0xFFFFFFFF)
-    a_row0 = scal_ref[0, t]
-    b_row0 = scal_ref[1, t]
-    a_rot = scal_ref[2, t]
-    b_rot = scal_ref[3, t]
-    a_cnt = scal_ref[4, t]
-    b_cnt = scal_ref[5, t]
+def _make_stream_kernel(nch):
+    def kernel(scal_ref, *refs):
+        ins = refs[:nch]                      # HBM channel arrays
+        outs = refs[nch:2 * nch]              # VMEM output tiles
+        wins = refs[2 * nch:4 * nch]          # scratch windows (A side, B side)
+        sems = refs[4 * nch]
+        t = pl.program_id(0)
+        SENT = jnp.uint32(0xFFFFFFFF)
+        a_row0 = scal_ref[0, t]
+        b_row0 = scal_ref[1, t]
+        a_rot = scal_ref[2, t]
+        b_rot = scal_ref[3, t]
+        a_cnt = scal_ref[4, t]
+        b_cnt = scal_ref[5, t]
 
-    copies = []
-    for i, (src, dst) in enumerate((
-            (hi_hbm, awin_hi), (lo_hbm, awin_lo), (pay_hbm, awin_pay))):
-        c = pltpu.make_async_copy(src.at[pl.ds(a_row0, LOAD_R), :], dst,
-                                  sems.at[i])
-        c.start()
-        copies.append(c)
-    for i, (src, dst) in enumerate((
-            (hi_hbm, bwin_hi), (lo_hbm, bwin_lo), (pay_hbm, bwin_pay))):
-        c = pltpu.make_async_copy(src.at[pl.ds(b_row0, LOAD_R), :], dst,
-                                  sems.at[3 + i])
-        c.start()
-        copies.append(c)
-    for c in copies:
-        c.wait()
+        copies = []
+        for i in range(nch):
+            c = pltpu.make_async_copy(ins[i].at[pl.ds(a_row0, LOAD_R), :],
+                                      wins[i], sems.at[i])
+            c.start()
+            copies.append(c)
+            c = pltpu.make_async_copy(ins[i].at[pl.ds(b_row0, LOAD_R), :],
+                                      wins[nch + i], sems.at[nch + i])
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
 
-    def prep(whi, wlo, wpay, rot, cnt, reverse):
-        whi, wlo, wpay = _flat_rot_dyn((whi, wlo, wpay), rot)
-        whi = whi[:TILE_R]
-        wlo = wlo[:TILE_R]
-        wpay = wpay[:TILE_R]
-        row = jax.lax.broadcasted_iota(jnp.int32, whi.shape, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, whi.shape, 1)
-        flat = row * LANES + lane
-        live = flat < cnt
-        whi = jnp.where(live, whi, SENT)
-        wlo = jnp.where(live, wlo, SENT)
-        if reverse:
-            whi, wlo, wpay = (_flip_all(x) for x in (whi, wlo, wpay))
-        return whi, wlo, wpay
+        def prep(chans, rot, cnt, reverse):
+            chans = _flat_rot_dyn(chans, rot)
+            chans = tuple(c[:TILE_R] for c in chans)
+            row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
+            live = row * LANES + lane < cnt
+            chans = (jnp.where(live, chans[0], SENT),
+                     jnp.where(live, chans[1], SENT)) + chans[2:]
+            if reverse:
+                chans = tuple(_flip_all(c) for c in chans)
+            return chans
 
-    ahi, alo, apay = prep(awin_hi[:], awin_lo[:], awin_pay[:],
-                          a_rot, a_cnt, False)
-    bhi, blo, bpay = prep(bwin_hi[:], bwin_lo[:], bwin_pay[:],
-                          b_rot, b_cnt, True)
-    chi = jnp.concatenate([ahi, bhi], axis=0)
-    clo = jnp.concatenate([alo, blo], axis=0)
-    cpay = jnp.concatenate([apay, bpay], axis=0)
-    chi, clo, cpay = _bitonic_merge_block(chi, clo, cpay, 2 * TILE_E)
-    ohi_ref[:] = chi[:TILE_R]
-    olo_ref[:] = clo[:TILE_R]
-    opay_ref[:] = cpay[:TILE_R]
+        a_chans = prep(tuple(w[:] for w in wins[:nch]), a_rot, a_cnt, False)
+        b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
+        cand = tuple(jnp.concatenate([a, b], axis=0)
+                     for a, b in zip(a_chans, b_chans))
+        cand = _bitonic_merge_block(cand, 2 * TILE_E)
+        for o, c in zip(outs, cand):
+            o[:] = c[:TILE_R]
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -332,7 +325,7 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
     """One streaming pass: sorted runs of (traced) length ``run`` -> 2*run.
 
     n must be a multiple of 2*run and of TILE_E. One compile serves every
-    pass size (run is data, not shape).
+    pass size (run is data, not shape). pay may be None (2-channel network).
     """
     n = hi.shape[0]
     ntiles = n // TILE_E
@@ -366,36 +359,30 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
         return jnp.concatenate(
             [x.reshape(-1, LANES),
              jnp.full((pad_rows, LANES), fill, x.dtype)])
-    hi2, lo2 = pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))
-    pay2 = pad(pay, jnp.uint32(0))
+    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
+    if pay is not None:
+        chans.append(pad(pay, jnp.uint32(0)))
+    nch = len(chans)
 
+    out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nch,
+        out_specs=[out_spec] * nch,
         scratch_shapes=[
-            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(6)
-        ] + [pltpu.SemaphoreType.DMA((6,))],
+            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(2 * nch)
+        ] + [pltpu.SemaphoreType.DMA((2 * nch,))],
     )
     out = pl.pallas_call(
-        _stream_merge_kernel,
+        _make_stream_kernel(nch),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * nch,
         interpret=interpret,
-    )(scal, hi2, lo2, pay2)
-    return tuple(x.reshape(-1) for x in out)
+    )(scal, *chans)
+    out = tuple(x.reshape(-1) for x in out)
+    return out if pay is not None else (out[0], out[1], None)
 
 
 def _next_pow2(x: int) -> int:
@@ -403,26 +390,26 @@ def _next_pow2(x: int) -> int:
 
 
 def sort_pallas(hi, lo, pay=None, block: int = 1 << 15,
-                max_vmem_run: int = 1 << 17, interpret: bool = False):
+                max_vmem_run: int = 1 << 18, interpret: bool = False):
     """Full sort of flat (hi, lo[, pay]) u32 arrays, ascending lexicographic.
 
     Phase 1 block-sorts in VMEM; phase 2 merges pairwise in VMEM while run
     pairs fit; phase 3 streams merge-path passes for arbitrarily large runs.
     Input is padded to a power of two with sentinel keys and sliced back.
+    pay=None runs 2-channel networks throughout (~1/3 fewer ops).
     """
     n0 = hi.shape[0]
     had_pay = pay is not None
-    if pay is None:
-        pay = jnp.zeros_like(hi)
     if n0 < 2 * LANES:   # tiny: not worth a kernel
-        out = jax.lax.sort((hi, lo, pay), num_keys=2)
-        return out if had_pay else out[:2]
+        ops = (hi, lo) if pay is None else (hi, lo, pay)
+        return jax.lax.sort(ops, num_keys=2)
     n = max(_next_pow2(n0), LANES * 2)
     if n > n0:
         padk = jnp.full(n - n0, 0xFFFFFFFF, jnp.uint32)
         hi = jnp.concatenate([hi, padk])
         lo = jnp.concatenate([lo, padk])
-        pay = jnp.concatenate([pay, jnp.zeros(n - n0, jnp.uint32)])
+        if pay is not None:
+            pay = jnp.concatenate([pay, jnp.zeros(n - n0, jnp.uint32)])
     block = min(block, n)
     hi, lo, pay = sort_blocks_pallas(hi, lo, pay, block=block,
                                      interpret=interpret)
@@ -435,5 +422,6 @@ def sort_pallas(hi, lo, pay=None, block: int = 1 << 15,
         hi, lo, pay = stream_merge_pass_pallas(
             hi, lo, pay, jnp.int32(run), interpret=interpret)
         run *= 2
-    hi, lo, pay = hi[:n0], lo[:n0], pay[:n0]
-    return (hi, lo, pay) if had_pay else (hi, lo)
+    if had_pay:
+        return hi[:n0], lo[:n0], pay[:n0]
+    return hi[:n0], lo[:n0]
