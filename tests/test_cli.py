@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from zotpu import cli
+from zotpu import semantics as S
 from zotpu.io import container
 from zotpu.reference_impl import golden as G
 
@@ -257,3 +258,46 @@ def test_scan_out_reads(tmp_path, rng, capsys):
     want = G.scan_panel(21, panel_k, sample)
     assert pulled == [s for s, h in zip(sample, want) if h >= 1]
     assert sample[0] in pulled and sample[2] in pulled
+
+
+def test_device_accumulator_matches_golden(rng):
+    import jax.numpy as jnp
+
+    from zotpu.workloads.accumulator import CapacityError, DeviceAccumulator
+    sets = []
+    for i in range(5):
+        reads = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(30)]
+        sets.append(G.kmerize(17, reads))
+    acc = DeviceAccumulator(batch_capacity=2048, max_cap=1 << 14)
+    for keys, counts in sets:
+        hi = np.full(2048, 0xFFFFFFFF, np.uint32)
+        lo = np.full(2048, 0xFFFFFFFF, np.uint32)
+        c = np.zeros(2048, np.uint32)
+        hi[:len(keys)], lo[:len(keys)] = S.split_hi_lo(keys)
+        c[:len(keys)] = counts
+        acc.add(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c),
+                jnp.int32(len(keys)))
+    keys, counts = acc.result()
+    want_k, want_c = G.merge(sets)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(counts, want_c)
+
+    tiny = DeviceAccumulator(batch_capacity=256, max_cap=256)
+    hi = np.full(256, 0xFFFFFFFF, np.uint32)
+    lo = np.full(256, 0xFFFFFFFF, np.uint32)
+    c = np.zeros(256, np.uint32)
+    ka = np.arange(200, dtype=np.uint64)
+    hi[:200], lo[:200] = S.split_hi_lo(ka)
+    c[:200] = 1
+    kb = np.arange(200, 400, dtype=np.uint64)
+    hi2 = np.full(256, 0xFFFFFFFF, np.uint32)
+    lo2 = np.full(256, 0xFFFFFFFF, np.uint32)
+    c2 = np.zeros(256, np.uint32)
+    hi2[:200], lo2[:200] = S.split_hi_lo(kb)
+    c2[:200] = 1
+    tiny.add(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c), jnp.int32(200))
+    tiny.add(jnp.asarray(hi2), jnp.asarray(lo2), jnp.asarray(c2),
+             jnp.int32(200))
+    # overflow detection is deferred to result() (no per-merge host sync)
+    with pytest.raises(CapacityError):
+        tiny.result()

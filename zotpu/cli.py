@@ -57,7 +57,7 @@ def cmd_kmerize(args):
             keys, counts = W.kmerize_paths(
                 args.inputs, args.k, batch_reads=args.batch_reads,
                 max_len=args.max_len, spill_dir=args.spill_dir, stats=stats,
-                resume=args.resume)
+                resume=args.resume, merge_capacity=args.merge_capacity)
     wall = time.perf_counter() - t0
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=counts,
@@ -310,6 +310,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, required=True, dest="k")
     sp.add_argument("--spill-dir", default=None,
                     help="write per-batch sorted runs here (restartable)")
+    sp.add_argument("--merge-capacity", type=int, default=1 << 26,
+                    help="device accumulator capacity in unique k-mers")
     sp.add_argument("--resume", action="store_true",
                     help="reuse completed runs in --spill-dir after a crash")
     sp.add_argument("--compress", action="store_true",

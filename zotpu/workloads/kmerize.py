@@ -76,9 +76,16 @@ class Interrupted(RuntimeError):
 def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
                   max_len: int = 256, spill_dir: str | None = None,
                   stats: Stats | None = None, resume: bool = False,
-                  fail_after_batches: int | None = None
+                  fail_after_batches: int | None = None,
+                  merge_capacity: int = 1 << 26
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Kmerize files into one sorted unique (keys u64, counts u32) pair.
+
+    Default (no spill_dir): per-batch runs stay ON DEVICE and merge through a
+    log-structured device accumulator -- only the final set is transferred
+    (per-batch host round trips dominate E2E time on remote TPUs; measured
+    2 Mbase/s with host merging vs the 130 Mbase/s device step).
+    ``merge_capacity`` bounds the unique-key capacity of the accumulator.
 
     With ``spill_dir`` each batch's sorted run is written as a ZKF file, which
     is the checkpoint granularity: ``resume=True`` re-reads completed runs
@@ -86,14 +93,24 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
     (SURVEY.md section 5, failure detection / batch-granular restartability).
     ``fail_after_batches`` is the fault-injection hook used by tests.
     """
+    from zotpu.workloads.accumulator import DeviceAccumulator
+
     S.check_k(k)
     stats = stats if stats is not None else Stats()
+    use_acc = spill_dir is None
+    acc: DeviceAccumulator | None = None
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     batch_no = 0
     pending = None  # (device outputs, batch_no, run_path) awaiting host sync
 
     def consume(p):
+        nonlocal acc
         (uhi, ulo, counts, n), bno, run_path = p
+        if use_acc:
+            if acc is None:
+                acc = DeviceAccumulator(uhi.shape[0], max_cap=merge_capacity)
+            acc.add(uhi, ulo, counts, n)  # no host sync: pipeline stays async
+            return
         n = int(n)
         keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
         cnts = np.asarray(counts[:n])
@@ -140,7 +157,15 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         pending = (out, batch_no, run_path)
     if pending is not None:
         consume(pending)
-    keys, counts = merge_runs(runs)
+    if use_acc:
+        keys, counts = (acc.result() if acc is not None
+                        else (np.empty(0, np.uint64),
+                              np.empty(0, S.COUNT_DTYPE)))
+        # total instances = sum of merged counts (saturation is astronomically
+        # far at these scales); avoids a per-batch device sync
+        stats.kmers = int(counts.sum(dtype=np.uint64))
+    else:
+        keys, counts = merge_runs(runs)
     stats.unique = len(keys)
     return keys, counts
 
