@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
+import jax
+
 import numpy as np
 
 from zotpu import semantics as S
@@ -148,12 +150,15 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
             if pending is not None:
                 consume(pending)
             raise Interrupted(f"injected failure before batch {batch_no}")
-        out = _device_batch(batch.codes, batch.lengths, k)
-        # Software pipelining (SURVEY.md section 2b "PP analog"): the async
-        # device dispatch of batch i overlaps host parsing of batch i+1;
-        # the previous batch is synced only after the new one is in flight.
+        # Software pipelining (SURVEY.md section 2b "PP analog"): start the
+        # async H2D upload first, do the previous batch's host/merge work
+        # while it flies, then dispatch compute on device-resident inputs.
+
+        codes_d = jax.device_put(batch.codes)
+        lengths_d = jax.device_put(batch.lengths)
         if pending is not None:
             consume(pending)
+        out = _device_batch(codes_d, lengths_d, k)
         pending = (out, batch_no, run_path)
     if pending is not None:
         consume(pending)
