@@ -301,3 +301,19 @@ def test_device_accumulator_matches_golden(rng):
     # overflow detection is deferred to result() (no per-merge host sync)
     with pytest.raises(CapacityError):
         tiny.result()
+
+
+def test_kmerize_sharded_cli_matches(tmp_path, reads, capsys):
+    """--shards 4 through the CLI must be byte-equal to single-chip."""
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    out1 = tmp_path / "s1.zkf"
+    out4 = tmp_path / "s4.zkf"
+    assert run_cli("kmerize", "-k", 21, "--batch-reads", 64, "--max-len", 128,
+                   out1, fq) == 0
+    assert run_cli("kmerize", "-k", 21, "--batch-reads", 64, "--max-len", 128,
+                   "--shards", 4, out4, fq) == 0
+    a = container.read(str(out1))
+    b = container.read(str(out4))
+    assert np.array_equal(a.keys, b.keys)
+    assert np.array_equal(a.counts, b.counts)

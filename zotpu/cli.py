@@ -53,6 +53,11 @@ def cmd_kmerize(args):
             stats.bases = sum(len(s) for s in seqs)
             stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
             stats.unique = len(keys)
+        elif args.shards > 1:
+            keys, counts = W.kmerize_paths_sharded(
+                args.inputs, args.k, args.shards,
+                batch_reads=args.batch_reads, max_len=args.max_len,
+                stats=stats)
         else:
             keys, counts = W.kmerize_paths(
                 args.inputs, args.k, batch_reads=args.batch_reads,
@@ -310,6 +315,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, required=True, dest="k")
     sp.add_argument("--spill-dir", default=None,
                     help="write per-batch sorted runs here (restartable)")
+    sp.add_argument("--shards", type=int, default=1,
+                    help="shard the k-mer key space across N local devices "
+                         "(power of two; all-to-all routing)")
     sp.add_argument("--merge-capacity", type=int, default=1 << 26,
                     help="device accumulator capacity in unique k-mers")
     sp.add_argument("--resume", action="store_true",

@@ -183,3 +183,54 @@ def resume_from_spills(spill_dir: str) -> tuple[np.ndarray, np.ndarray]:
             ks = container.read(os.path.join(spill_dir, name))
             runs.append((ks.keys, ks.counts))
     return merge_runs(runs)
+
+
+def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
+                          batch_reads: int = 4096, max_len: int = 256,
+                          stats: Stats | None = None,
+                          capacity_factor: float = 4.0
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-chip kmerize through the shard_map pipeline (BASELINE config 1
+    at scale): each batch is split across the mesh, k-mers are all-to-all
+    routed to their key-prefix owner shard, per-shard runs are gathered and
+    merged. n_shards must be a power of two <= len(jax.devices()).
+
+    v1 gathers per-batch shard runs to the host (the device-accumulator
+    treatment for the sharded path is future work); correctness is identical
+    to the single-chip path by the shard-count invariance tests.
+    """
+    from zotpu.dist import mesh as M
+    from zotpu.dist import shuffle
+    from zotpu.io.prefetch import prefetch
+
+    S.check_k(k)
+    stats = stats if stats is not None else Stats()
+    mesh = M.make_mesh(n_shards)
+    reads_per_chip = max(batch_reads // n_shards, 1)
+    rtot = reads_per_chip * n_shards
+    step, _ = shuffle.make_kmerize_step(mesh, k, reads_per_chip, max_len,
+                                        capacity_factor=capacity_factor)
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def all_batches():
+        for path in paths:
+            yield from fastq.parse_batches(path, rtot, max_len, halo=k - 1)
+
+    for batch in prefetch(all_batches(), depth=2):
+        stats.batches += 1
+        stats.reads += batch.n_reads
+        stats.bases += batch.bases
+        uhi, ulo, counts, n_unique, overflow = step(batch.codes, batch.lengths)
+        if int(np.asarray(overflow).sum()) > 0:
+            raise ValueError(
+                "all-to-all bucket overflow: raise capacity_factor")
+        keys, cnts = shuffle.gather_global(
+            np.asarray(uhi).reshape(n_shards, -1),
+            np.asarray(ulo).reshape(n_shards, -1),
+            np.asarray(counts).reshape(n_shards, -1),
+            np.asarray(n_unique))
+        stats.kmers += int(cnts.sum(dtype=np.uint64))
+        runs.append((keys, cnts))
+    keys, counts = merge_runs(runs)
+    stats.unique = len(keys)
+    return keys, counts
