@@ -317,3 +317,45 @@ def test_kmerize_sharded_cli_matches(tmp_path, reads, capsys):
     b = container.read(str(out4))
     assert np.array_equal(a.keys, b.keys)
     assert np.array_equal(a.counts, b.counts)
+
+
+def test_scan_per_read_overlong_guard(tmp_path, rng, capsys):
+    panel_k, _ = G.kmerize(21, ["".join(rng.choice(list("ACGT"), size=200))])
+    pp = tmp_path / "p2.zkf"
+    container.write(str(pp), container.KmerSet(k=21, keys=panel_k))
+    fq = tmp_path / "long.fastq"
+    write_fastq(str(fq), ["A" * 500, "ACGT" * 10])
+    # per-read output must refuse misaligned rows...
+    assert run_cli("scan", pp, fq, "--per-read", "--max-len", 128) == 1
+    assert "max-len" in capsys.readouterr().err
+    # ...but summary-only scan still works (halo chunking keeps totals right)
+    assert run_cli("scan", pp, fq, "--max-len", 128) == 0
+
+
+def test_shards_validation(tmp_path, reads, capsys):
+    fq = tmp_path / "v.fastq"
+    write_fastq(str(fq), reads)
+    # more shards than devices -> clean error
+    assert run_cli("kmerize", "-k", 15, "--shards", 64,
+                   tmp_path / "x.zkf", fq) == 1
+    assert "exceeds" in capsys.readouterr().err
+    # shards + spill -> clean error
+    assert run_cli("kmerize", "-k", 15, "--shards", 4, "--spill-dir",
+                   str(tmp_path), tmp_path / "y.zkf", fq) == 1
+    assert "not supported" in capsys.readouterr().err
+
+
+def test_prefetch_abandoned_consumer_shuts_down():
+    import threading
+
+    from zotpu.io.prefetch import prefetch
+    before = threading.active_count()
+    gen = prefetch(iter(range(1000)), depth=2)
+    assert next(gen) == 0
+    gen.close()  # consumer abandons early
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before

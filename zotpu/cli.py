@@ -54,6 +54,10 @@ def cmd_kmerize(args):
             stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
             stats.unique = len(keys)
         elif args.shards > 1:
+            if args.spill_dir or args.resume:
+                raise ValueError(
+                    "--spill-dir/--resume are not supported with --shards yet"
+                    " (sharded runs are not checkpointed)")
             keys, counts = W.kmerize_paths_sharded(
                 args.inputs, args.k, args.shards,
                 batch_reads=args.batch_reads, max_len=args.max_len,
@@ -203,9 +207,29 @@ def cmd_filter(args):
     return 0
 
 
+def _check_per_read_alignment(paths, max_len):
+    """Per-read output requires row==record: overlong reads are halo-chunked
+    into multiple rows and would misalign every later record's hit count."""
+    from zotpu.io import fastq as FQ
+    for p in paths:
+        fmt = FQ.sniff_format(p)
+        with FQ.open_file(p) as f:
+            if fmt == "fastq":
+                too_long = any(len(s) > max_len for _, s, _ in FQ.read_fastq(f))
+            else:
+                too_long = any(len(s) > max_len for _, s in FQ.read_fasta(f))
+        if too_long:
+            raise ValueError(
+                f"{p}: reads longer than --max-len {max_len}; raise --max-len "
+                f"for --per-read/--out-reads output (summary totals would be "
+                f"right but per-read rows would misalign)")
+
+
 def cmd_scan(args):
     panel, _ = _load_padded(args.panel)
     from zotpu.workloads import pulldown
+    if (args.per_read or args.out_reads) and not args.host:
+        _check_per_read_alignment(args.samples, args.max_len)
     if args.host:
         results = []
         for p in args.samples:
@@ -237,7 +261,7 @@ def _write_hit_reads(out_fh, path, per_read, min_hits):
     fmt = fastq.sniff_format(path)
     with fastq.open_file(path) as f:
         if fmt == "fastq":
-            recs = ((rid, seq, qual) for rid, seq, qual in fastq.read_fastq(f))
+            recs = fastq.read_fastq(f)
         else:
             recs = ((name, seq, "I" * len(seq)) for name, seq in fastq.read_fasta(f))
         for i, (rid, seq, qual) in enumerate(recs):

@@ -18,26 +18,45 @@ _SENTINEL = object()
 
 
 def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
-    """Run ``it`` in a daemon thread, buffering up to ``depth`` items."""
+    """Run ``it`` in a daemon thread, buffering up to ``depth`` items.
+
+    The worker shuts down promptly if the consumer abandons the generator
+    (exception or early close): puts are polled against a stop event so the
+    thread never blocks forever holding parsed batches.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     err: list[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # re-raised in the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5)
     if err:
         raise err[0]

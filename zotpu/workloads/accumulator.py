@@ -72,6 +72,12 @@ class DeviceAccumulator:
     def add(self, hi, lo, cnt, n) -> None:
         """Insert one sorted sentinel-padded run (device arrays). No host
         synchronization happens here."""
+        if hi.shape[0] > self._cap(0):
+            raise ValueError(
+                f"run capacity {hi.shape[0]} exceeds the accumulator's level-0 "
+                f"capacity {self._cap(0)}; construct DeviceAccumulator with "
+                f"batch_capacity >= the largest run (silent truncation would "
+                f"lose k-mers)")
         entry = (*_pad_to(hi, lo, cnt, cap=self._cap(0)), n)
         i = 0
         while True:

@@ -75,6 +75,22 @@ class Interrupted(RuntimeError):
     """Raised by the fault-injection hook to simulate a mid-run crash."""
 
 
+def _iter_batches(paths, batch_reads, max_len, k, stats):
+    """Shared prefetched batch stream; updates stats per batch."""
+    from zotpu.io.prefetch import prefetch
+
+    def all_batches():
+        for path in paths:
+            yield from fastq.parse_batches(path, batch_reads, max_len,
+                                           halo=k - 1)
+
+    for batch in prefetch(all_batches(), depth=2):
+        stats.batches += 1
+        stats.reads += batch.n_reads
+        stats.bases += batch.bases
+        yield batch
+
+
 def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
                   max_len: int = 256, spill_dir: str | None = None,
                   stats: Stats | None = None, resume: bool = False,
@@ -122,22 +138,12 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         stats.kmers += int(cnts.sum(dtype=np.uint64))
         runs.append((keys, cnts))
 
-    from zotpu.io.prefetch import prefetch
-
-    def all_batches():
-        for path in paths:
-            yield from fastq.parse_batches(path, batch_reads, max_len,
-                                           halo=k - 1)
-
     # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
     # device compute and host merging of the previous batch.
-    for batch in prefetch(all_batches(), depth=2):
+    for batch in _iter_batches(paths, batch_reads, max_len, k, stats):
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
-        stats.batches += 1
-        stats.reads += batch.n_reads
-        stats.bases += batch.bases
         if resume and run_path and os.path.exists(run_path):
             if pending is not None:
                 consume(pending)
@@ -201,25 +207,20 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     """
     from zotpu.dist import mesh as M
     from zotpu.dist import shuffle
-    from zotpu.io.prefetch import prefetch
 
     S.check_k(k)
     stats = stats if stats is not None else Stats()
+    n_dev = len(jax.devices())
+    if n_shards > n_dev:
+        raise ValueError(
+            f"--shards {n_shards} exceeds the {n_dev} available device(s)")
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
     step, _ = shuffle.make_kmerize_step(mesh, k, reads_per_chip, max_len,
                                         capacity_factor=capacity_factor)
     runs: list[tuple[np.ndarray, np.ndarray]] = []
-
-    def all_batches():
-        for path in paths:
-            yield from fastq.parse_batches(path, rtot, max_len, halo=k - 1)
-
-    for batch in prefetch(all_batches(), depth=2):
-        stats.batches += 1
-        stats.reads += batch.n_reads
-        stats.bases += batch.bases
+    for batch in _iter_batches(paths, rtot, max_len, k, stats):
         uhi, ulo, counts, n_unique, overflow = step(batch.codes, batch.lengths)
         if int(np.asarray(overflow).sum()) > 0:
             raise ValueError(
