@@ -97,3 +97,20 @@ def test_profiled_trace_writes(tmp_path):
     with metrics.profiled(d):
         jnp.arange(4).sum().block_until_ready()
     assert os.path.isdir(d) and any(os.scandir(d))
+
+
+def test_bench_cli_small(capsys):
+    import json as _json
+
+    from types import SimpleNamespace
+
+    from zotpu.bench import harness
+    args = SimpleNamespace(workload="all", bases=1 << 16, k=15, repeats=1)
+    assert harness.run(args) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [_json.loads(l) for l in lines]
+    names = {r["workload"] for r in recs}
+    assert {"kmerize", "setops_merge", "kmerize_scaling",
+            "kmerize_e2e"} <= names
+    e2e = next(r for r in recs if r["workload"] == "kmerize_e2e")
+    assert e2e["bases"] > 0 and e2e["unique"] > 0

@@ -93,6 +93,8 @@ def run(args) -> int:
         results.append(bench_setops(repeats=args.repeats))
     if args.workload in ("scaling", "all"):
         results.extend(bench_scaling(repeats=args.repeats))
+    if args.workload in ("e2e", "all"):
+        results.append(bench_e2e(total_bases=args.bases, k=args.k))
     for r in results:
         r["device"] = str(jax.devices()[0])
         print(json.dumps(r))
@@ -145,3 +147,43 @@ def bench_scaling(reads_per_chip: int = 512, read_len: int = 256, k: int = 25,
         })
         D *= 2
     return results
+
+
+def bench_e2e(total_bases: int = 1 << 25, k: int = 25, read_len: int = 128,
+              repeats: int = 1) -> dict:
+    """Whole-pipeline throughput: FASTQ on disk -> parse -> device batches ->
+    device-resident merge -> final set (the CLI path, minus container write)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from zotpu.workloads import kmerize as W
+
+    rng = np.random.default_rng(0)
+    n = max(total_bases // read_len, 1)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.integers(0, 4, size=max(total_bases // 16, read_len + 1),
+                          dtype=np.int64)
+    offs = rng.integers(0, len(genome) - read_len, n)
+    seqs = lut[genome[offs[:, None] + np.arange(read_len)[None, :]]]
+    qual = b"I" * read_len
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bench.fastq")
+        with open(path, "wb") as f:
+            for i in range(0, n, 65536):
+                f.write(b"".join(b"@r\n%s\n+\n%s\n" % (s.tobytes(), qual)
+                                 for s in seqs[i:i + 65536]))
+        times = []
+        out = None
+        for _ in range(max(repeats, 1)):
+            stats = W.Stats()
+            t0 = time.perf_counter()
+            out = W.kmerize_paths([path], k, batch_reads=131072,
+                                  max_len=read_len, stats=stats)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+    return {
+        "workload": "kmerize_e2e", "bases": stats.bases, "seconds": dt,
+        "bases_per_s": stats.bases / dt, "unique": len(out[0]),
+    }
