@@ -44,7 +44,7 @@ def main():
     codes = jax.make_array_from_callback((R, L), sh2, lambda i: codes_g[i])
     lengths = jax.make_array_from_callback((R,), sh1, lambda i: lengths_g[i])
     out = jax.block_until_ready(step(codes, lengths))
-    uhi, ulo, counts, n_unique, overflow = out
+    uhi, ulo, counts, n_unique, overflow, routed = out
 
     # Collect this process's addressable shard rows.
     rows = {}

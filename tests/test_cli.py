@@ -319,17 +319,28 @@ def test_kmerize_sharded_cli_matches(tmp_path, reads, capsys):
     assert np.array_equal(a.counts, b.counts)
 
 
-def test_scan_per_read_overlong_guard(tmp_path, rng, capsys):
-    panel_k, _ = G.kmerize(21, ["".join(rng.choice(list("ACGT"), size=200))])
+def test_scan_per_read_overlong_records(tmp_path, rng, capsys):
+    """Overlong reads are halo-chunked into several device rows; per-read and
+    reads_with_hits output must still be per input RECORD (rows re-aggregated
+    via record_ids), byte-equal to the golden per-record scan."""
+    src = "".join(rng.choice(list("ACGT"), size=400))
+    panel_k, _ = G.kmerize(21, [src])
     pp = tmp_path / "p2.zkf"
     container.write(str(pp), container.KmerSet(k=21, keys=panel_k))
+    # record 0: 500-base read with panel hits spanning chunk boundaries;
+    # record 1: short no-hit read; record 2: another overlong hit read
+    seqs = [src + "TTTTAAAACCCCGGGGTTTTAAAA" * 5, "ACGT" * 10, src[50:350]]
     fq = tmp_path / "long.fastq"
-    write_fastq(str(fq), ["A" * 500, "ACGT" * 10])
-    # per-read output must refuse misaligned rows...
-    assert run_cli("scan", pp, fq, "--per-read", "--max-len", 128) == 1
-    assert "max-len" in capsys.readouterr().err
-    # ...but summary-only scan still works (halo chunking keeps totals right)
-    assert run_cli("scan", pp, fq, "--max-len", 128) == 0
+    write_fastq(str(fq), seqs)
+    assert run_cli("scan", pp, fq, "--per-read", "--max-len", 128,
+                   "--batch-reads", 2) == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out_lines[0])
+    want = G.scan_panel(21, panel_k, seqs)
+    assert summary["total_hits"] == int(want.sum())
+    assert summary["reads_with_hits"] == int((want > 0).sum())
+    per_read = [int(l.split("\t")[2]) for l in out_lines[1:]]
+    assert per_read == [int(h) for h in want]
 
 
 def test_shards_validation(tmp_path, reads, capsys):
@@ -339,10 +350,40 @@ def test_shards_validation(tmp_path, reads, capsys):
     assert run_cli("kmerize", "-k", 15, "--shards", 64,
                    tmp_path / "x.zkf", fq) == 1
     assert "exceeds" in capsys.readouterr().err
-    # shards + spill -> clean error
-    assert run_cli("kmerize", "-k", 15, "--shards", 4, "--spill-dir",
-                   str(tmp_path), tmp_path / "y.zkf", fq) == 1
-    assert "not supported" in capsys.readouterr().err
+
+
+def test_kmerize_sharded_spill_resume(tmp_path, reads, capsys):
+    """--shards with --spill-dir checkpoints per-batch runs; a crashed run
+    resumes from completed runs, byte-equal to the uninterrupted output."""
+    from zotpu.workloads import kmerize as W
+
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    # uninterrupted sharded spill run
+    sd2 = tmp_path / "sd2"
+    sd2.mkdir()
+    stats = W.Stats()
+    keys_full, counts_full = W.kmerize_paths_sharded(
+        [str(fq)], 15, 4, batch_reads=64, max_len=128,
+        spill_dir=str(sd2), stats=stats)
+    # interrupted run: fail after 1 batch, then resume
+    sd3 = tmp_path / "sd3"
+    sd3.mkdir()
+    with pytest.raises(W.Interrupted):
+        W.kmerize_paths_sharded([str(fq)], 15, 4, batch_reads=64,
+                                max_len=128, spill_dir=str(sd3),
+                                fail_after_batches=1)
+    assert len(list(sd3.glob("*.zkf"))) == 1  # one completed checkpoint
+    keys_res, counts_res = W.kmerize_paths_sharded(
+        [str(fq)], 15, 4, batch_reads=64, max_len=128,
+        spill_dir=str(sd3), resume=True)
+    assert np.array_equal(keys_res, keys_full)
+    assert np.array_equal(counts_res, counts_full)
+    # and both equal the device-accumulator (no-spill) sharded path
+    keys_acc, counts_acc = W.kmerize_paths_sharded(
+        [str(fq)], 15, 4, batch_reads=64, max_len=128)
+    assert np.array_equal(keys_acc, keys_full)
+    assert np.array_equal(counts_acc, counts_full)
 
 
 def test_prefetch_abandoned_consumer_shuts_down():

@@ -28,7 +28,7 @@ def test_distributed_kmerize_matches_golden(mesh8):
                                       min_len=read_len)
     step, cap_out = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
                                               capacity_factor=4.0)
-    uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+    uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
     uhi = np.asarray(uhi).reshape(D, -1)
     ulo = np.asarray(ulo).reshape(D, -1)
     counts = np.asarray(counts).reshape(D, -1)
@@ -57,7 +57,7 @@ def test_distributed_kmerize_with_invalid_bases(mesh8):
                                       alphabet="ACGTN")
     step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
                                         capacity_factor=8.0)
-    uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+    uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
     assert np.all(np.asarray(overflow) == 0)
     keys, cnts = shuffle.gather_global(
         np.asarray(uhi).reshape(D, -1), np.asarray(ulo).reshape(D, -1),
@@ -77,8 +77,70 @@ def test_overflow_counter_reports_drops(mesh8):
                                    alphabet="ACGT", min_len=read_len)
     step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
                                         capacity_factor=0.05)
-    *_, overflow = step(codes, lengths)
+    out = step(codes, lengths)
+    overflow = out[4]
     assert int(np.asarray(overflow).sum()) > 0
+
+
+def test_overflow_second_round_rescues_skew(mesh8):
+    """Maximally skewed routing (every k-mer owned by shard 0: poly-A reads)
+    that exceeds the first-round bucket capacity must be carried by the
+    overflow second round, byte-equal to golden, with zero reported drops."""
+    k = 11
+    D = 8
+    reads_per_chip, read_len = 8, 60
+    R = D * reads_per_chip
+    seqs = ["A" * read_len] * R
+    codes = np.stack([G.encode(s) for s in seqs])
+    lengths = np.full(R, read_len, np.int32)
+    # each sender routes all m_local k-mers to shard 0; capacity_factor=0.9*D
+    # makes the first round 10% short, well within cap2 = cap/4
+    step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                        capacity_factor=0.9 * D)
+    uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
+    assert np.all(np.asarray(overflow) == 0)
+    keys, cnts = shuffle.gather_global(
+        np.asarray(uhi).reshape(D, -1), np.asarray(ulo).reshape(D, -1),
+        np.asarray(counts).reshape(D, -1), np.asarray(n_unique))
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(cnts, want_c)
+    # everything landed on shard 0 and the routed metric says so
+    r = np.asarray(routed)
+    assert r[0] == R * (read_len - k + 1) and np.all(r[1:] == 0)
+
+
+def test_sharded_marked_mode_matches(mesh8):
+    """compact=False (the accumulator hot path) carries the same unique
+    keys/counts per shard as the compacted step."""
+    from zotpu.kernels.sortdedup import compact_sorted
+    import jax
+
+    k = 17
+    D = 8
+    reads_per_chip, read_len = 8, 70
+    rng = np.random.default_rng(13)
+    seqs, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
+                                      min_len=read_len)
+    outs = []
+    for compact in (True, False):
+        step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                            capacity_factor=6.0,
+                                            compact=compact)
+        uhi, ulo, counts, n_unique, overflow, _ = step(codes, lengths)
+        assert np.all(np.asarray(overflow) == 0)
+        uhi = np.asarray(uhi).reshape(D, -1)
+        ulo = np.asarray(ulo).reshape(D, -1)
+        counts = np.asarray(counts).reshape(D, -1)
+        if not compact:
+            uhi, ulo, counts = (np.asarray(x) for x in jax.vmap(
+                compact_sorted)(uhi, ulo, counts))
+        outs.append(shuffle.gather_global(uhi, ulo, counts,
+                                          np.asarray(n_unique)))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(outs[0][0], want_k)
 
 
 def test_distributed_pulldown_matches_golden(mesh8):
@@ -129,7 +191,7 @@ def test_shard_count_invariance(mesh8):
         mesh = M.make_mesh(D)
         step, _ = shuffle.make_kmerize_step(mesh, k, R // D, read_len,
                                             capacity_factor=6.0)
-        uhi, ulo, counts, n_unique, overflow = step(codes, lengths)
+        uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
         keys, cnts = shuffle.gather_global(
             np.asarray(uhi).reshape(D, -1), np.asarray(ulo).reshape(D, -1),
             np.asarray(counts).reshape(D, -1), np.asarray(n_unique))

@@ -59,6 +59,56 @@ def test_sort_dedup_empty():
     assert len(keys) == 0
 
 
+@pytest.mark.parametrize("k", [5, 25])
+def test_dedup_marked_equals_compacted(k):
+    """The hot-path marked (uncompacted) dedup must carry exactly the same
+    unique keys/counts as the compacted form, and compact_sorted(marked)
+    must be byte-equal to dedup_count_sorted."""
+    rng = np.random.default_rng(7 + k)
+    seqs, codes, lengths = make_batch(rng, 29, 80)
+    hi, lo, w = pack.pack_canonical(codes, lengths, k)
+    mhi, mlo, mcnt, mn = sortdedup.kmer_sort_dedup(hi, lo, w, compact=False)
+    chi, clo, ccnt, cn = sortdedup.kmer_sort_dedup(hi, lo, w, compact=True)
+    assert int(mn) == int(cn)
+    # compacting the marked form reproduces the compacted form byte-for-byte
+    rhi, rlo, rcnt = sortdedup.compact_sorted(mhi, mlo, mcnt)
+    assert np.array_equal(np.asarray(rhi), np.asarray(chi))
+    assert np.array_equal(np.asarray(rlo), np.asarray(clo))
+    assert np.array_equal(np.asarray(rcnt), np.asarray(ccnt))
+    # valid rows of the marked form: same multiset of (key, count)
+    mk = S.join_hi_lo(np.asarray(mhi), np.asarray(mlo))
+    valid = mk != S.SENTINEL_KEY
+    assert np.array_equal(np.sort(mk[valid]),
+                          S.join_hi_lo(np.asarray(chi), np.asarray(clo))[:int(cn)])
+    # marked duplicates carry count 0
+    assert np.all(np.asarray(mcnt)[~valid] == 0)
+
+
+def test_set_op_accepts_marked_inputs():
+    """set_op must merge sentinel-MARKED (uncompacted) runs identically to
+    compacted runs -- the contract the accumulator hot path relies on."""
+    rng = np.random.default_rng(3)
+    seqs_a, codes_a, len_a = make_batch(rng, 21, 60)
+    seqs_b, codes_b, len_b = make_batch(rng, 21, 60)
+    k = 11
+    outs = []
+    for compact in (True, False):
+        runs = []
+        for codes, lengths in ((codes_a, len_a), (codes_b, len_b)):
+            hi, lo, w = pack.pack_canonical(codes, lengths, k)
+            runs.append(sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact))
+        (ahi, alo, ac, _), (bhi, blo, bc, _) = runs
+        hi, lo, c, n = setops.set_op(ahi, alo, ac, bhi, blo, bc, op="merge")
+        n = int(n)
+        outs.append((S.join_hi_lo(np.asarray(hi), np.asarray(lo))[:n],
+                     np.asarray(c)[:n]))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
+    want_k, want_c = G.merge([G.kmerize(k, seqs_a), G.kmerize(k, seqs_b)])
+    assert np.array_equal(outs[0][0], want_k)
+    assert np.array_equal(outs[0][1], want_c)
+
+
 def _to_dev(keys, counts, cap):
     hi, lo = S.split_hi_lo(keys)
     out_hi = np.full(cap, 0xFFFFFFFF, np.uint32)

@@ -33,8 +33,11 @@ def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
         # The returned scalar depends on the whole pipeline and is synced via
         # host transfer: block_until_ready reports Pallas-containing programs
         # ready early on some PJRT backends, so it cannot be the timer fence.
+        # compact=False is the production per-batch path (the accumulator
+        # consumes marked runs; compaction happens once at the end of a run).
         hi, lo, w = dispatch.pack_canonical(c, l, k)
-        uhi, ulo, counts, n = sortdedup.kmer_sort_dedup(hi, lo, w)
+        uhi, ulo, counts, n = sortdedup.kmer_sort_dedup(hi, lo, w,
+                                                        compact=False)
         return n + jnp.sum(counts, dtype=jnp.uint32).astype(jnp.int32)
 
     int(np.asarray(step(codes, lengths)))  # compile + warmup
@@ -54,7 +57,13 @@ def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
     }
 
 
-def bench_setops(n: int = 1 << 22, repeats: int = 3) -> dict:
+def bench_setops(n: int = 1 << 22, repeats: int = 3,
+                 impl: str = "auto") -> dict:
+    """Sorted-set merge GB/s (BASELINE metric 2). impl: "auto" measures the
+    production dispatch (merge-path Pallas on TPU), "sort" pins the round-1
+    sort-based kernel for A/B comparison."""
+    from zotpu.kernels.setops_merge import set_op_auto
+
     rng = np.random.default_rng(1)
     def mk(seed):
         keys = np.sort(rng.integers(0, 1 << 50, size=n).astype(np.uint64))
@@ -69,19 +78,59 @@ def bench_setops(n: int = 1 << 22, repeats: int = 3) -> dict:
 
     ahi, alo, ac = mk(0)
     bhi, blo, bc = mk(1)
-    out = setops.set_op(ahi, alo, ac, bhi, blo, bc, op="merge")
-    jax.block_until_ready(out)
+    fn = setops.set_op if impl == "sort" else set_op_auto
+
+    def step():
+        hi, lo, c, n_out = fn(ahi, alo, ac, bhi, blo, bc, op="merge")
+        # host-transfer fence (see bench_kmerize note re Pallas + block_until)
+        return int(np.asarray(n_out + jnp.sum(c, dtype=jnp.uint32)
+                              .astype(jnp.int32)))
+
+    step()  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(setops.set_op(ahi, alo, ac, bhi, blo, bc, op="merge"))
+        step()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     bytes_moved = 2 * n * 12  # two inputs of (hi,lo,count) u32 triples
     return {
-        "workload": "setops_merge", "n": 2 * n, "seconds": dt,
+        "workload": "setops_merge", "impl": impl, "n": 2 * n, "seconds": dt,
         "gb_per_s": bytes_moved / dt / 1e9,
         "keys_per_s": 2 * n / dt,
+    }
+
+
+def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
+               panel_size: int = 1 << 20, repeats: int = 3) -> dict:
+    """Panel pulldown probe rate (BASELINE config 5 single-chip): packed
+    k-mers probed against a device-resident sorted panel, k-mers/s."""
+    from zotpu.workloads import pulldown
+
+    rng = np.random.default_rng(2)
+    panel = np.unique(rng.integers(0, 1 << (2 * k), panel_size,
+                                   dtype=np.uint64).astype(np.uint64))
+    phi, plo = pulldown.panel_to_device(panel)
+    codes = jnp.asarray(_synth_codes(rng, n_reads, read_len))
+    lengths = jnp.full(n_reads, read_len, jnp.int32)
+
+    def step():
+        hits = pulldown.scan_batch(codes, lengths, phi, plo, k)
+        return int(np.asarray(jnp.sum(hits)))  # host-transfer fence
+
+    step()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        step()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    kmers = n_reads * (read_len - k + 1)
+    return {
+        "workload": "scan", "k": k, "panel": len(panel),
+        "kmers_probed": kmers, "seconds": dt,
+        "kmers_per_s": kmers / dt,
+        "bases_per_s": n_reads * read_len / dt,
     }
 
 
@@ -91,6 +140,10 @@ def run(args) -> int:
         results.append(bench_kmerize(args.bases, k=args.k, repeats=args.repeats))
     if args.workload in ("setops", "all"):
         results.append(bench_setops(repeats=args.repeats))
+    if args.workload == "setops-sort":
+        results.append(bench_setops(repeats=args.repeats, impl="sort"))
+    if args.workload in ("scan", "all"):
+        results.append(bench_scan(repeats=args.repeats, k=args.k))
     if args.workload in ("scaling", "all"):
         results.extend(bench_scaling(repeats=args.repeats))
     if args.workload in ("e2e", "all"):

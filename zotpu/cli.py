@@ -54,14 +54,11 @@ def cmd_kmerize(args):
             stats.kmers = int(counts.sum(dtype=np.uint64)) if len(counts) else 0
             stats.unique = len(keys)
         elif args.shards > 1:
-            if args.spill_dir or args.resume:
-                raise ValueError(
-                    "--spill-dir/--resume are not supported with --shards yet"
-                    " (sharded runs are not checkpointed)")
             keys, counts = W.kmerize_paths_sharded(
                 args.inputs, args.k, args.shards,
                 batch_reads=args.batch_reads, max_len=args.max_len,
-                stats=stats)
+                stats=stats, spill_dir=args.spill_dir, resume=args.resume,
+                merge_capacity=args.merge_capacity)
         else:
             keys, counts = W.kmerize_paths(
                 args.inputs, args.k, batch_reads=args.batch_reads,
@@ -74,7 +71,8 @@ def cmd_kmerize(args):
               "stats": stats.as_dict()}),
         codec="zlib" if args.compress else "raw")
     if logger:
-        logger.log("kmerize", **metrics.kmerize_stage_metrics(stats, wall))
+        logger.log("kmerize", **metrics.kmerize_stage_metrics(
+            stats, wall, n_chips=stats.n_chips))
         logger.close()
     print(json.dumps({"command": "kmerize", **stats.as_dict()}))
     return 0
@@ -207,29 +205,12 @@ def cmd_filter(args):
     return 0
 
 
-def _check_per_read_alignment(paths, max_len):
-    """Per-read output requires row==record: overlong reads are halo-chunked
-    into multiple rows and would misalign every later record's hit count."""
-    from zotpu.io import fastq as FQ
-    for p in paths:
-        fmt = FQ.sniff_format(p)
-        with FQ.open_file(p) as f:
-            if fmt == "fastq":
-                too_long = any(len(s) > max_len for _, s, _ in FQ.read_fastq(f))
-            else:
-                too_long = any(len(s) > max_len for _, s in FQ.read_fasta(f))
-        if too_long:
-            raise ValueError(
-                f"{p}: reads longer than --max-len {max_len}; raise --max-len "
-                f"for --per-read/--out-reads output (summary totals would be "
-                f"right but per-read rows would misalign)")
-
-
 def cmd_scan(args):
+    # Overlong reads are halo-chunked into several device rows; pulldown
+    # re-aggregates rows per input record via CodeBatch.record_ids, so all
+    # outputs (totals, reads_with_hits, --per-read rows) stay record-aligned.
     panel, _ = _load_padded(args.panel)
     from zotpu.workloads import pulldown
-    if (args.per_read or args.out_reads) and not args.host:
-        _check_per_read_alignment(args.samples, args.max_len)
     if args.host:
         results = []
         for p in args.samples:
@@ -424,7 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="performance harness")
     sp.add_argument("--workload", default="kmerize",
-                    choices=["kmerize", "setops", "scaling", "e2e", "all"])
+                    choices=["kmerize", "setops", "setops-sort", "scan",
+                             "scaling", "e2e", "all"])
     sp.add_argument("--bases", type=int, default=1 << 26)
     sp.add_argument("--k", type=int, default=25)
     sp.add_argument("--repeats", type=int, default=3)

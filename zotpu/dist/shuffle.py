@@ -32,7 +32,7 @@ from zotpu import semantics as S
 from zotpu.dist.mesh import AXIS, shard_bits
 from zotpu.kernels.pack import SENT32
 from zotpu.kernels.dispatch import pack_canonical
-from zotpu.kernels.sortdedup import dedup_count_sorted
+from zotpu.kernels.sortdedup import dedup_count_sorted, dedup_mark_sorted
 
 
 def _owner_of(hi, lo, k: int, p: int, n_shards: int):
@@ -51,11 +51,20 @@ def _owner_of(hi, lo, k: int, p: int, n_shards: int):
     return jnp.minimum(own, n_shards - 1)
 
 
-def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=()):
+def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
+           capacity2: int = 0):
     """Owner-route sorted-by-key entries into (D, C) buckets + all_to_all.
 
-    Returns received (hi, lo, *payload) flattened to (D*C,) plus the local
-    overflow count. Inputs MUST be sorted by (hi, lo); sentinel = invalid.
+    Returns received (hi, lo, *payload) flattened to (D*(C+C2),) plus the
+    local overflow count. Inputs MUST be sorted by (hi, lo); sentinel =
+    invalid.
+
+    ``capacity2 > 0`` enables the overflow SECOND ROUND (SURVEY.md section 7
+    "hard parts"): entries beyond a destination's first-round capacity go into
+    a second, smaller bucket array routed by a second all_to_all, so transient
+    skew (GC-content hot prefixes) degrades gracefully instead of failing the
+    run; only entries beyond capacity+capacity2 count as overflow (still
+    detected and raised by callers).
     """
     p = shard_bits(n_shards)
     m = hi.shape[0]
@@ -65,49 +74,75 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=()):
     # the last shard), so bucket fill positions are index - bucket_start.
     starts = jnp.searchsorted(owner, jnp.arange(n_shards, dtype=jnp.int32))
     pos = jnp.arange(m, dtype=jnp.int32) - starts[owner]
-    ok = valid & (pos < capacity)
-    idx = jnp.where(ok, owner * capacity + pos, n_shards * capacity)
-    overflow = jnp.sum(valid.astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
 
-    def scatter(x, fill):
-        buf = jnp.full(n_shards * capacity, fill, x.dtype).at[idx].set(x, mode="drop")
-        return buf.reshape(n_shards, capacity)
+    def round_bufs(pos_r, cap_r):
+        ok = valid & (pos_r >= 0) & (pos_r < cap_r)
+        idx = jnp.where(ok, owner * cap_r + pos_r, n_shards * cap_r)
 
-    send = [scatter(hi, SENT32), scatter(lo, SENT32)]
-    send += [scatter(x, jnp.zeros((), x.dtype)) for x in payload]
-    recv = [jax.lax.all_to_all(b, AXIS, split_axis=0, concat_axis=0, tiled=True)
-            .reshape(-1) for b in send]
+        def scatter(x, fill):
+            buf = jnp.full(n_shards * cap_r, fill, x.dtype
+                           ).at[idx].set(x, mode="drop")
+            return buf.reshape(n_shards, cap_r)
+
+        send = [scatter(hi, SENT32), scatter(lo, SENT32)]
+        send += [scatter(x, jnp.zeros((), x.dtype)) for x in payload]
+        recv = [jax.lax.all_to_all(b, AXIS, split_axis=0, concat_axis=0,
+                                   tiled=True).reshape(-1) for b in send]
+        return recv, jnp.sum(ok.astype(jnp.int32))
+
+    recv, n_ok = round_bufs(pos, capacity)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    if capacity2 > 0:
+        recv2, n_ok2 = round_bufs(pos - capacity, capacity2)
+        recv = [jnp.concatenate([a, b]) for a, b in zip(recv, recv2)]
+        overflow = n_valid - n_ok - n_ok2
+    else:
+        overflow = n_valid - n_ok
     return recv, overflow
 
 
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
-                      capacity_factor: float = 2.0):
+                      capacity_factor: float = 2.0, compact: bool = True,
+                      second_round: bool = True):
     """Build the jitted multi-chip kmerize step.
 
     Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
     Output (global, sharded by shard): per-shard unique keys hi/lo (D, cap_out),
-    counts (D, cap_out), n_unique (D,), overflow (D,) -- concatenating the
-    valid prefixes of the shard rows yields the globally sorted set.
+    counts (D, cap_out), n_unique (D,), overflow (D,), routed (D,) --
+    concatenating the valid prefixes of the shard rows yields the globally
+    sorted set (with compact=True).
+
+    compact=False leaves each shard's run sentinel-MARKED (duplicates blanked
+    in place, no compaction sort) for the sharded device accumulator, which
+    re-sorts during its merge (kernels/sortdedup.dedup_mark_sorted).
+    ``routed`` is the number of k-mers each shard received this batch -- the
+    per-shard routing volume/skew metric (SURVEY.md section 5).
     """
     S.check_k(k)
     D = mesh.devices.size
     m_local = reads_per_chip * (read_len - k + 1)
     cap = int(np.ceil(m_local * capacity_factor / D))
-    cap_out = D * cap
+    cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
+    cap_out = D * (cap + cap2)
 
     def local_step(codes, lengths):
         hi, lo, w = pack_canonical(codes, lengths, k)
         hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-        (rhi, rlo), overflow = _route(hi, lo, k, D, cap)
+        (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
+        routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
         rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
-        uhi, ulo, counts, n = dedup_count_sorted(rhi, rlo)
+        if compact:
+            uhi, ulo, counts, n = dedup_count_sorted(rhi, rlo)
+        else:
+            uhi, ulo, counts, n = dedup_mark_sorted(rhi, rlo)
         return (uhi[None], ulo[None], counts[None],
-                n[None].astype(jnp.int32), overflow[None])
+                n[None].astype(jnp.int32), overflow[None], routed[None])
 
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                   P(AXIS), P(AXIS)),
         )
     return jax.jit(fn), cap_out
 

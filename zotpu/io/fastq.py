@@ -25,9 +25,13 @@ from zotpu import semantics as S
 
 
 def open_file(path: str, mode: str = "rb"):
-    """Gzip-transparent open (reference analog: library/file.openFile)."""
+    """Gzip-transparent open (reference analog: library/file.openFile).
+
+    '-' maps to the stdio byte streams (writes previously vanished into a
+    throwaway BytesIO -- ADVICE round 1)."""
     if path == "-":
-        return io.BytesIO() if "w" in mode else getattr(__import__("sys"), "stdin").buffer
+        import sys
+        return sys.stdout.buffer if ("w" in mode or "a" in mode) else sys.stdin.buffer
     if path.endswith(".gz"):
         return gzip.open(path, mode)
     return open(path, mode)
@@ -74,15 +78,21 @@ class CodeBatch:
 
     codes:   (R, L) u8, values 0..3 valid, 4 invalid/padding
     lengths: (R,) int32 true read lengths (<= L)
-    n_reads: number of real reads (rows beyond are all-padding)
+    n_reads: number of real ROWS (rows beyond are all-padding)
     bases:   input bases attributable to this batch for stats -- excludes
              padding and the (k-1)-halo overlap of chunked rows; defaults to
              sum(lengths[:n_reads]).
+    record_ids: (R,) int64 input-record index of each row (global, 0-based;
+             -1 for padding rows). Overlong records are halo-chunked into
+             several rows, so per-RECORD results must re-aggregate rows that
+             share an id -- ids are non-decreasing and a record's rows may
+             span consecutive batches. Defaults to one record per row.
     """
     codes: np.ndarray
     lengths: np.ndarray
     n_reads: int
     bases: int = -1
+    record_ids: np.ndarray | None = None
 
     def __post_init__(self):
         if self.bases < 0:
@@ -122,7 +132,14 @@ def parse_batches(path: str, max_reads: int, max_len: int,
         from zotpu.io import native
         gen = native.parse_batches_native(path, max_reads, max_len)
         if gen is not None:
-            yield from gen
+            # native path: one row per record (it refuses overlong reads)
+            rec0 = 0
+            for b in gen:
+                ids = np.full(len(b.lengths), -1, np.int64)
+                ids[:b.n_reads] = np.arange(rec0, rec0 + b.n_reads)
+                rec0 += b.n_reads
+                b.record_ids = ids
+                yield b
             return
     with open_file(path, "rb") as f:
         data = f.read()
@@ -136,21 +153,24 @@ def parse_batches(path: str, max_reads: int, max_len: int,
         # Rare overlong-read fallback: halo-chunk every read (slow path).
         rows = []
         new_bases = []
-        for s, e in zip(starts, ends):
+        rowids = []
+        for rec_no, (s, e) in enumerate(zip(starts, ends)):
             rec = S.ENCODE_LUT[buf[s:e]]
             if len(rec) <= max_len:
                 rows.append(np.pad(rec, (0, max_len - len(rec)),
                                    constant_values=S.INVALID_CODE))
                 new_bases.append(len(rec))
+                rowids.append(rec_no)
             else:
                 chunked = chunk_with_halo(rec, halo + 1, max_len)
                 rows.extend(chunked)
+                rowids.extend([rec_no] * len(chunked))
                 total = len(rec)
                 for i in range(len(chunked)):
                     take = min(max_len if i == 0 else max_len - halo, total)
                     new_bases.append(take)
                     total -= take
-        yield from _rows_to_batches(rows, max_reads, max_len, new_bases)
+        yield from _rows_to_batches(rows, max_reads, max_len, new_bases, rowids)
         return
     for lo in range(0, len(starts), max_reads):
         st = starts[lo:lo + max_reads]
@@ -162,8 +182,10 @@ def parse_batches(path: str, max_reads: int, max_len: int,
         gathered = S.ENCODE_LUT[buf[idx]]
         mask = np.arange(max_len)[None, :] < ln[:, None]
         codes[:r] = np.where(mask, gathered, S.INVALID_CODE)
+        ids = np.full(max_reads, -1, np.int64)
+        ids[:r] = np.arange(lo, lo + r)
         yield CodeBatch(codes=codes, lengths=np.pad(ln.astype(np.int32), (0, max_reads - r)),
-                        n_reads=r)
+                        n_reads=r, record_ids=ids)
 
 
 def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
@@ -191,15 +213,18 @@ def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
         text_rows.append(np.concatenate(cur))
     rows = []
     new_bases = []
-    for rec in text_rows:
+    rowids = []
+    for rec_no, rec in enumerate(text_rows):
         codes = S.ENCODE_LUT[rec]
         if len(codes) <= max_len:
             rows.append(np.pad(codes, (0, max_len - len(codes)),
                                constant_values=S.INVALID_CODE))
             new_bases.append(len(codes))
+            rowids.append(rec_no)
         else:
             chunked = chunk_with_halo(codes, halo + 1, max_len)
             rows.extend(chunked)
+            rowids.extend([rec_no] * len(chunked))
             # halo bases are re-sent with each chunk; count each input base once
             total = len(codes)
             for i in range(len(chunked)):
@@ -209,15 +234,17 @@ def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
                     take = min(max_len - halo, total)
                 new_bases.append(take)
                 total -= take
-    yield from _rows_to_batches(rows, max_reads, max_len, new_bases)
+    yield from _rows_to_batches(rows, max_reads, max_len, new_bases, rowids)
 
 
-def _rows_to_batches(rows, max_reads, max_len, new_bases=None):
+def _rows_to_batches(rows, max_reads, max_len, new_bases=None, rowids=None):
     """Pre-encoded, pre-padded code rows -> CodeBatch stream.
 
     Padding is INVALID_CODE, which already invalidates every window touching
     it, so lengths can be uniformly max_len; ``new_bases`` carries the true
-    per-row input-base attribution for stats (no padding/halo double count)."""
+    per-row input-base attribution for stats (no padding/halo double count);
+    ``rowids`` the per-row record index (a record's chunk rows may span two
+    yielded batches)."""
     for lo in range(0, len(rows), max_reads):
         chunk = rows[lo:lo + max_reads]
         r = len(chunk)
@@ -226,9 +253,12 @@ def _rows_to_batches(rows, max_reads, max_len, new_bases=None):
             codes[:r] = np.stack(chunk)
         bases = (sum(new_bases[lo:lo + max_reads]) if new_bases is not None
                  else -1)
+        ids = np.full(max_reads, -1, np.int64)
+        ids[:r] = (np.asarray(rowids[lo:lo + max_reads], np.int64)
+                   if rowids is not None else np.arange(lo, lo + r))
         yield CodeBatch(codes=codes,
                         lengths=np.full(max_reads, max_len, np.int32),
-                        n_reads=r, bases=bases)
+                        n_reads=r, bases=bases, record_ids=ids)
 
 
 def chunk_with_halo(seq_codes: np.ndarray, k: int, chunk_len: int) -> np.ndarray:

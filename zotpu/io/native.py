@@ -21,27 +21,44 @@ from zotpu.io.fastq import CodeBatch, open_file
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "fastq_parser.cpp")
 _SO = os.path.join(_NATIVE_DIR, "libzotpu_native.so")
+_HASH = _SO + ".srchash"
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
 
 
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> bool:
+    """(Re)build the .so, keyed on a source-content hash (a stale or
+    foreign-machine binary -- e.g. restored from a cache or a git clone --
+    must never be trusted on mtime alone)."""
     try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-            return True
+        want = _src_hash()
+        if os.path.exists(_SO) and os.path.exists(_HASH):
+            with open(_HASH) as f:
+                if f.read().strip() == want:
+                    return True
+        # Portable flags only: -march=native output SIGILLs on older hosts.
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True, capture_output=True)
+        with open(_HASH, "w") as f:
+            f.write(want)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return False
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None on failure."""
+    """Load (building if needed) the native library, or None on failure.
+
+    Every failure mode -- missing compiler, failed dlopen, missing symbols --
+    degrades to the numpy fallback instead of raising (ADVICE round 1)."""
     global _lib, _lib_failed
     with _lock:
         if _lib is not None or _lib_failed:
@@ -49,15 +66,19 @@ def get_lib():
         if not _build():
             _lib_failed = True
             return None
-        lib = ctypes.CDLL(_SO)
-        lib.zotpu_parse_fastq.restype = ctypes.c_int64
-        lib.zotpu_parse_fastq.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
-        lib.zotpu_encode.restype = None
-        lib.zotpu_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                     ctypes.c_void_p]
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.zotpu_parse_fastq.restype = ctypes.c_int64
+            lib.zotpu_parse_fastq.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+            lib.zotpu_encode.restype = None
+            lib.zotpu_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_void_p]
+        except (OSError, AttributeError):
+            _lib_failed = True
+            return None
         _lib = lib
         return _lib
 

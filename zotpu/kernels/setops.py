@@ -23,22 +23,10 @@ from zotpu.kernels.pack import SENT32
 from zotpu.kernels.sortdedup import saturating_add_u32
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
-def set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
-    """Combine two sorted unique (key, count) arrays.
-
-    op: "merge"/"union" (keep all, counts summed), "intersect" (keys in both,
-    counts summed), "diff" (keys in A only, counts from A).
-    Inputs use sentinel-key padding; returns (hi, lo, counts, n_out) with
-    capacity len(A)+len(B).
-    """
-    ca = jnp.concatenate([c_a.astype(jnp.uint32), jnp.zeros_like(c_b, jnp.uint32)])
-    cb = jnp.concatenate([jnp.zeros_like(c_a, jnp.uint32), c_b.astype(jnp.uint32)])
-    hi = jnp.concatenate([hi_a, hi_b])
-    lo = jnp.concatenate([lo_a, lo_b])
-    hi, lo, ca, cb = jax.lax.sort((hi, lo, ca, cb), num_keys=2)
-    n = hi.shape[0]
-
+def _combine_sorted(hi, lo, ca, cb, op: str):
+    """Post-merge combine: a SORTED stream of tagged (key, ca, cb) rows (each
+    side's keys unique, so segments have <= 2 members) -> per-key policy.
+    Returns (keep_first mask, counts)."""
     first = jnp.concatenate([jnp.ones((1,), bool),
                              (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
     same_next = jnp.concatenate([~first[1:], jnp.zeros((1,), bool)])
@@ -60,10 +48,12 @@ def set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
         cnt = tot_a
     else:
         raise ValueError(f"unknown set op {op!r}")
+    return first & keep, cnt
 
-    keep_first = first & keep
-    # Scatter-free compaction (see kernels/sortdedup.py TPU note): stable sort
-    # on the keep flag moves kept rows to the front preserving key order.
+
+def _compact_kept(hi, lo, cnt, keep_first):
+    """Scatter-free compaction (see kernels/sortdedup.py TPU note): stable
+    sort on the keep flag moves kept rows to the front preserving key order."""
     flag = (~keep_first).astype(jnp.uint32)
     flag, out_hi, out_lo, out_c = jax.lax.sort((flag, hi, lo, cnt), num_keys=1,
                                                is_stable=True)
@@ -73,6 +63,28 @@ def set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
     out_c = jnp.where(kept, out_c, jnp.uint32(0))
     n_out = jnp.sum(keep_first.astype(jnp.int32))
     return out_hi, out_lo, out_c, n_out
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
+    """Combine two sorted unique (key, count) arrays.
+
+    op: "merge"/"union" (keep all, counts summed), "intersect" (keys in both,
+    counts summed), "diff" (keys in A only, counts from A).
+    Inputs use sentinel-key padding; rows may also be sentinel-MARKED
+    (uncompacted) -- this path re-sorts the concatenation, so row order is
+    irrelevant. Returns (hi, lo, counts, n_out) with capacity len(A)+len(B).
+    For large DENSE sorted inputs on TPU, kernels/setops_merge.py provides
+    the merge-path front-end that replaces the full re-sort with a streaming
+    Pallas bitonic-merge pass (~log n fewer compare-exchanges).
+    """
+    ca = jnp.concatenate([c_a.astype(jnp.uint32), jnp.zeros_like(c_b, jnp.uint32)])
+    cb = jnp.concatenate([jnp.zeros_like(c_a, jnp.uint32), c_b.astype(jnp.uint32)])
+    hi = jnp.concatenate([hi_a, hi_b])
+    lo = jnp.concatenate([lo_a, lo_b])
+    hi, lo, ca, cb = jax.lax.sort((hi, lo, ca, cb), num_keys=2)
+    keep_first, cnt = _combine_sorted(hi, lo, ca, cb, op)
+    return _compact_kept(hi, lo, cnt, keep_first)
 
 
 @jax.jit

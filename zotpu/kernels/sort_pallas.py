@@ -1,6 +1,8 @@
 """Pallas TPU sort engine: in-VMEM bitonic block sort + merge passes.
 
-Replaces ``jax.lax.sort`` on the hot path. XLA's TPU sort streams ~log2(n/B)
+STATUS: built and correct on TPU, but NOT wired to any production path -- it
+lost its A/B to ``jax.lax.sort`` (see docs/PERF_NOTES.md); kept as groundwork
+for the radix-partition design. XLA's TPU sort streams ~log2(n/B)
 pairwise merge passes over HBM on top of block sorts; this engine does the
 same algorithm but fused: blocks sort entirely in VMEM (bitonic network built
 from lane/sublane XOR-shuffles = two rolls + select per stage), and merge
@@ -325,7 +327,9 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
     """One streaming pass: sorted runs of (traced) length ``run`` -> 2*run.
 
     n must be a multiple of 2*run and of TILE_E. One compile serves every
-    pass size (run is data, not shape). pay may be None (2-channel network).
+    pass size (run is data, not shape). pay may be None (2-channel network),
+    a single u32 array, or a TUPLE of u32 arrays (payload channels ride the
+    network unselected-on; kernels/setops_merge.py uses (countA, countB)).
     """
     n = hi.shape[0]
     ntiles = n // TILE_E
@@ -359,9 +363,10 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
         return jnp.concatenate(
             [x.reshape(-1, LANES),
              jnp.full((pad_rows, LANES), fill, x.dtype)])
+    pays = (() if pay is None
+            else tuple(pay) if isinstance(pay, (tuple, list)) else (pay,))
     chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
-    if pay is not None:
-        chans.append(pad(pay, jnp.uint32(0)))
+    chans += [pad(p, jnp.uint32(0)) for p in pays]
     nch = len(chans)
 
     out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
@@ -382,6 +387,8 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
         interpret=interpret,
     )(scal, *chans)
     out = tuple(x.reshape(-1) for x in out)
+    if isinstance(pay, (tuple, list)):
+        return out
     return out if pay is not None else (out[0], out[1], None)
 
 

@@ -14,6 +14,8 @@ sizes").
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -36,18 +38,23 @@ def _boundaries(hi, lo):
 
 
 @jax.jit
-def dedup_count_sorted(hi, lo):
-    """Sorted (hi, lo) with sentinel padding -> unique keys + u32 counts.
+def dedup_mark_sorted(hi, lo):
+    """Sorted (hi, lo) with sentinel padding -> dups sentinel-MARKED in place.
 
     Every non-sentinel entry counts 1 (kmerize path). Returns
-    (uhi, ulo, counts, n_unique) with capacity n; rows >= n_unique are
-    sentinel/0.
+    (uhi, ulo, counts, n_unique) with capacity n, where each key segment's
+    FIRST occurrence keeps the key and carries the segment count, and every
+    duplicate/invalid row becomes sentinel with count 0 -- rows are NOT
+    compacted to the front. Consumers that re-sort their input anyway
+    (``setops.set_op``, the accumulator merge) accept this directly, which
+    keeps the second full-width stable sort (the most expensive op after the
+    key sort itself, ~1/3 of the round-1 step) OFF the hot path; call
+    ``compact_sorted`` only where a dense ``[:n]`` prefix is required.
 
-    TPU note: formulated with scans + one stable compaction sort and NO
-    scatter/gather -- XLA:TPU lowers dynamic scatter/gather to near-serial
-    loops (measured ~0.03 Gelem/s vs ~1 Gelem/s for cumsum; bench/micro.py),
-    so segment counts come from a suffix-scan of next-boundary positions and
-    compaction from a stable sort on the keep flag.
+    TPU note: scans only, NO scatter/gather -- XLA:TPU lowers dynamic
+    scatter/gather to near-serial loops (measured ~0.03 Gelem/s vs
+    ~1 Gelem/s for cumsum; bench/micro.py), so segment counts come from a
+    reverse-cummin of next-boundary positions.
     """
     n = hi.shape[0]
     first, _ = _boundaries(hi, lo)
@@ -60,24 +67,52 @@ def dedup_count_sorted(hi, lo):
     next_first = jnp.concatenate([inc[1:], jnp.full((1,), n, jnp.int32)])
     counts = (next_first - pos).astype(jnp.uint32)
     keep = first & is_valid
-    # Stable sort on the keep flag compacts kept rows to the front in key order.
-    flag = (~keep).astype(jnp.uint32)
-    flag, uhi, ulo, cnt = jax.lax.sort((flag, hi, lo, counts), num_keys=1,
-                                       is_stable=True)
-    kept = flag == 0
-    uhi = jnp.where(kept, uhi, SENT32)
-    ulo = jnp.where(kept, ulo, SENT32)
-    cnt = jnp.where(kept, cnt, jnp.uint32(0))
+    uhi = jnp.where(keep, hi, SENT32)
+    ulo = jnp.where(keep, lo, SENT32)
+    cnt = jnp.where(keep, counts, jnp.uint32(0))
     n_unique = jnp.sum(keep.astype(jnp.int32))
     return uhi, ulo, cnt, n_unique
 
 
 @jax.jit
-def kmer_sort_dedup(hi, lo, w):
-    """Full single-chip sort+dedup: pack output -> sorted unique keys+counts."""
+def compact_sorted(hi, lo, cnt):
+    """Move valid (non-sentinel) rows to the front, preserving key order.
+
+    Scatter-free: ONE stable sort on the validity flag (rows are already in
+    key order among themselves, so a stable flag sort yields the sorted dense
+    prefix). This is the op ``dedup_mark_sorted`` deliberately defers."""
+    flag = ((hi == SENT32) & (lo == SENT32)).astype(jnp.uint32)
+    flag, uhi, ulo, c = jax.lax.sort((flag, hi, lo, cnt), num_keys=1,
+                                     is_stable=True)
+    kept = flag == 0
+    uhi = jnp.where(kept, uhi, SENT32)
+    ulo = jnp.where(kept, ulo, SENT32)
+    c = jnp.where(kept, c, jnp.uint32(0))
+    return uhi, ulo, c
+
+
+@jax.jit
+def dedup_count_sorted(hi, lo):
+    """Sorted (hi, lo) with sentinel padding -> unique keys + u32 counts,
+    COMPACTED to the front: (uhi, ulo, counts, n_unique); rows >= n_unique
+    are sentinel/0. Mark + compact; prefer ``dedup_mark_sorted`` on hot paths
+    whose consumers re-sort anyway."""
+    uhi, ulo, cnt, n_unique = dedup_mark_sorted(hi, lo)
+    uhi, ulo, cnt = compact_sorted(uhi, ulo, cnt)
+    return uhi, ulo, cnt, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("compact",))
+def kmer_sort_dedup(hi, lo, w, compact: bool = True):
+    """Full single-chip sort+dedup: pack output -> sorted unique keys+counts.
+
+    compact=False returns the sentinel-marked (uncompacted) form for
+    consumers that re-sort (the device accumulator hot path)."""
     del w  # validity is already encoded as the sentinel key
     hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-    return dedup_count_sorted(hi, lo)
+    if compact:
+        return dedup_count_sorted(hi, lo)
+    return dedup_mark_sorted(hi, lo)
 
 
 def saturating_add_u32(a, b):

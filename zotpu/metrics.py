@@ -63,11 +63,18 @@ def profiled(trace_dir: str | None):
 
 def kmerize_stage_metrics(stats, wall_seconds: float, n_chips: int = 1) -> dict:
     """Derive the BASELINE headline numbers from kmerize Stats."""
-    return {
+    out = {
         "bases_per_s": stats.bases / wall_seconds if wall_seconds else 0.0,
         "kmers_per_s_per_chip": (stats.kmers / wall_seconds / n_chips
                                  if wall_seconds else 0.0),
         "dedup_ratio": stats.unique / stats.kmers if stats.kmers else 0.0,
         "reads": stats.reads, "bases": stats.bases,
         "kmers": stats.kmers, "unique": stats.unique,
+        "n_chips": n_chips,
     }
+    routed = getattr(stats, "routed_per_shard", None)
+    if routed:
+        mean = sum(routed) / len(routed)
+        out["routed_per_shard"] = routed
+        out["routing_skew"] = max(routed) / mean if mean else 0.0
+    return out

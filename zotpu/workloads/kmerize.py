@@ -33,15 +33,22 @@ class Stats:
     kmers: int = 0
     batches: int = 0
     unique: int = 0
+    n_chips: int = 1
+    # per-shard routed k-mer volumes over the whole run (sharded mode only;
+    # the SURVEY section-5 routing-skew observability metric)
+    routed_per_shard: list | None = None
 
     def as_dict(self):
         return dataclasses.asdict(self)
 
 
-def _device_batch(codes, lengths, k):
+def _device_batch(codes, lengths, k, compact: bool = True):
+    """One per-batch device step. compact=False leaves duplicates sentinel-
+    marked in place (no compaction sort) -- the accumulator re-sorts during
+    its merge anyway, so the hot path skips the second full-width sort."""
     from zotpu.kernels import dispatch
     hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
-    return sortdedup.kmer_sort_dedup(hi, lo, w)
+    return sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact)
 
 
 DEVICE_MERGE_THRESHOLD = 1 << 20  # total keys above which the device tree wins
@@ -76,17 +83,28 @@ class Interrupted(RuntimeError):
 
 
 def _iter_batches(paths, batch_reads, max_len, k, stats):
-    """Shared prefetched batch stream; updates stats per batch."""
+    """Shared prefetched batch stream; updates stats per batch.
+
+    stats.reads counts input RECORDS, not rows: halo-chunked overlong records
+    span several rows (and possibly batches), deduplicated via record_ids."""
     from zotpu.io.prefetch import prefetch
 
     def all_batches():
         for path in paths:
-            yield from fastq.parse_batches(path, batch_reads, max_len,
-                                           halo=k - 1)
+            last_id = None
+            for batch in fastq.parse_batches(path, batch_reads, max_len,
+                                             halo=k - 1):
+                rids = batch.record_ids[:batch.n_reads]
+                n_rec = len(np.unique(rids))
+                if n_rec and last_id is not None and rids[0] == last_id:
+                    n_rec -= 1  # first record continues from previous batch
+                if len(rids):
+                    last_id = int(rids[-1])
+                yield batch, n_rec
 
-    for batch in prefetch(all_batches(), depth=2):
+    for batch, n_rec in prefetch(all_batches(), depth=2):
         stats.batches += 1
-        stats.reads += batch.n_reads
+        stats.reads += n_rec
         stats.bases += batch.bases
         yield batch
 
@@ -164,7 +182,9 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         lengths_d = jax.device_put(batch.lengths)
         if pending is not None:
             consume(pending)
-        out = _device_batch(codes_d, lengths_d, k)
+        # Spill runs are sliced [:n] on the host, so they need the compacted
+        # form; the accumulator path takes the cheaper marked form.
+        out = _device_batch(codes_d, lengths_d, k, compact=not use_acc)
         pending = (out, batch_no, run_path)
     if pending is not None:
         consume(pending)
@@ -194,22 +214,34 @@ def resume_from_spills(spill_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                           batch_reads: int = 4096, max_len: int = 256,
                           stats: Stats | None = None,
-                          capacity_factor: float = 4.0
+                          capacity_factor: float = 4.0,
+                          spill_dir: str | None = None,
+                          resume: bool = False,
+                          fail_after_batches: int | None = None,
+                          merge_capacity: int = 1 << 26
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-chip kmerize through the shard_map pipeline (BASELINE config 1
     at scale): each batch is split across the mesh, k-mers are all-to-all
-    routed to their key-prefix owner shard, per-shard runs are gathered and
-    merged. n_shards must be a power of two <= len(jax.devices()).
+    routed to their key-prefix owner shard (with an overflow second round),
+    and per-shard runs accumulate DEVICE-RESIDENT through a per-shard LSM
+    merge (ShardedAccumulator) -- zero per-batch host gathers; one transfer
+    at the end. n_shards must be a power of two <= len(jax.devices()).
 
-    v1 gathers per-batch shard runs to the host (the device-accumulator
-    treatment for the sharded path is future work); correctness is identical
-    to the single-chip path by the shard-count invariance tests.
+    With ``spill_dir`` each batch's globally-merged run is written as a ZKF
+    checkpoint instead (per-batch transfers by design, same contract as the
+    single-chip spill path); ``resume=True`` re-reads completed runs.
+    Routing-bucket overflow detection is DEFERRED to the end in accumulator
+    mode (a device-side counter; no per-batch sync) and immediate in spill
+    mode. Correctness is identical to the single-chip path by the
+    shard-count invariance tests.
     """
     from zotpu.dist import mesh as M
     from zotpu.dist import shuffle
+    from zotpu.workloads.accumulator import ShardedAccumulator
 
     S.check_k(k)
     stats = stats if stats is not None else Stats()
+    stats.n_chips = n_shards
     n_dev = len(jax.devices())
     if n_shards > n_dev:
         raise ValueError(
@@ -217,11 +249,39 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
-    step, _ = shuffle.make_kmerize_step(mesh, k, reads_per_chip, max_len,
-                                        capacity_factor=capacity_factor)
+    use_acc = spill_dir is None
+    step, cap_out = shuffle.make_kmerize_step(
+        mesh, k, reads_per_chip, max_len, capacity_factor=capacity_factor,
+        compact=not use_acc)
+    acc: ShardedAccumulator | None = None
+    route_overflow = None  # device-side deferred counter (accumulator mode)
+    routed_tot = None      # per-shard routed k-mer volumes (device)
     runs: list[tuple[np.ndarray, np.ndarray]] = []
+    batch_no = 0
     for batch in _iter_batches(paths, rtot, max_len, k, stats):
-        uhi, ulo, counts, n_unique, overflow = step(batch.codes, batch.lengths)
+        batch_no += 1
+        run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
+                    if spill_dir is not None else None)
+        if resume and run_path and os.path.exists(run_path):
+            ks = container.read(run_path)
+            stats.kmers += int(ks.counts.sum(dtype=np.uint64))
+            runs.append((ks.keys, ks.counts))
+            continue
+        if fail_after_batches is not None and batch_no > fail_after_batches:
+            raise Interrupted(f"injected failure before batch {batch_no}")
+        uhi, ulo, counts, n_unique, overflow, routed = step(
+            batch.codes, batch.lengths)
+        if use_acc:
+            if acc is None:
+                # each shard can receive up to cap_out entries per batch
+                acc = ShardedAccumulator(n_shards, cap_out,
+                                         max_cap=merge_capacity)
+            acc.add(uhi.reshape(n_shards, -1), ulo.reshape(n_shards, -1),
+                    counts.reshape(n_shards, -1), n_unique)
+            route_overflow = (overflow if route_overflow is None
+                              else route_overflow + overflow)
+            routed_tot = routed if routed_tot is None else routed_tot + routed
+            continue
         if int(np.asarray(overflow).sum()) > 0:
             raise ValueError(
                 "all-to-all bucket overflow: raise capacity_factor")
@@ -231,7 +291,24 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             np.asarray(counts).reshape(n_shards, -1),
             np.asarray(n_unique))
         stats.kmers += int(cnts.sum(dtype=np.uint64))
+        if run_path is not None:
+            container.write(run_path, container.KmerSet(
+                k=k, keys=keys, counts=cnts, meta={"run": batch_no}))
         runs.append((keys, cnts))
-    keys, counts = merge_runs(runs)
+    if use_acc:
+        if acc is None:
+            keys = np.empty(0, np.uint64)
+            counts = np.empty(0, S.COUNT_DTYPE)
+        else:
+            if int(np.asarray(route_overflow).sum()) > 0:
+                raise ValueError(
+                    "all-to-all bucket overflow (deferred): raise "
+                    "capacity_factor")
+            keys, counts = shuffle.gather_global(*acc.result())
+            stats.kmers = int(counts.sum(dtype=np.uint64))
+        if routed_tot is not None:
+            stats.routed_per_shard = [int(x) for x in np.asarray(routed_tot)]
+    else:
+        keys, counts = merge_runs(runs)
     stats.unique = len(keys)
     return keys, counts

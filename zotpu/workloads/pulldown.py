@@ -48,18 +48,35 @@ def panel_to_device(keys: np.ndarray, capacity: int | None = None):
 
 def pulldown_paths(panel_keys: np.ndarray, sample_paths: list[str], k: int,
                    batch_reads: int = 4096, max_len: int = 256):
-    """Per-sample (total_hits, reads_with_hits, per_read_hits list)."""
+    """Per-sample (total_hits, reads_with_hits, per_read_hits list).
+
+    Rows are re-aggregated by ``CodeBatch.record_ids`` before any per-read
+    statistic: overlong records are halo-chunked into several rows (possibly
+    spanning batch boundaries), and counting rows would overstate
+    reads_with_hits / misalign per-read output (ADVICE round 1). Chunk halos
+    never duplicate a k-mer start position, so summing row hits per record is
+    exact.
+    """
     phi, plo = panel_to_device(panel_keys)
     results = []
     for path in sample_paths:
-        total = 0
-        reads_hit = 0
         per_read: list[int] = []
+        last_id = -1
         for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
             hits = np.asarray(scan_batch(batch.codes, batch.lengths, phi, plo, k))
-            hits = hits[:batch.n_reads]
-            total += int(hits.sum())
-            reads_hit += int((hits > 0).sum())
-            per_read.extend(int(h) for h in hits)
+            n = batch.n_reads
+            hits = hits[:n]
+            rids = batch.record_ids[:n]
+            # rids are non-decreasing; reduce rows -> records within the batch
+            uniq, inv = np.unique(rids, return_inverse=True)
+            sums = np.bincount(inv, weights=hits).astype(np.int64)
+            for rid, hsum in zip(uniq, sums):
+                if per_read and rid == last_id:
+                    per_read[-1] += int(hsum)  # record continued across batches
+                else:
+                    per_read.append(int(hsum))
+                    last_id = int(rid)
+        total = sum(per_read)
+        reads_hit = sum(1 for h in per_read if h > 0)
         results.append((total, reads_hit, per_read))
     return results

@@ -26,10 +26,15 @@ def _pad_pow2(keys, counts):
 
 def set_op(a: tuple[np.ndarray, np.ndarray], b: tuple[np.ndarray, np.ndarray],
            op: str) -> tuple[np.ndarray, np.ndarray]:
-    """Device set op between two sorted unique (keys u64, counts u32) pairs."""
+    """Device set op between two sorted unique (keys u64, counts u32) pairs.
+
+    Container inputs are dense, so this dispatches to the merge-path Pallas
+    front-end on TPU (kernels/setops_merge.py) and the sort-based kernel
+    elsewhere -- byte-identical outputs (tests/test_setops_merge.py)."""
+    from zotpu.kernels.setops_merge import set_op_auto
     ahi, alo, ac = _pad_pow2(*a)
     bhi, blo, bc = _pad_pow2(*b)
-    hi, lo, c, n = K.set_op(ahi, alo, ac, bhi, blo, bc, op=op)
+    hi, lo, c, n = set_op_auto(ahi, alo, ac, bhi, blo, bc, op=op)
     n = int(n)
     keys = S.join_hi_lo(np.asarray(hi[:n]), np.asarray(lo[:n]))
     return keys, np.asarray(c[:n])
