@@ -343,6 +343,29 @@ def test_scan_per_read_overlong_records(tmp_path, rng, capsys):
     assert per_read == [int(h) for h in want]
 
 
+def test_scan_sharded_cli_matches(tmp_path, rng, capsys):
+    """scan --shards 4 must produce identical per-read output to single-chip
+    (BASELINE config 5 hash-sharded), including a halo-chunked long record."""
+    src = "".join(rng.choice(list("ACGT"), size=300))
+    panel_k, _ = G.kmerize(21, [src])
+    pp = tmp_path / "panel.zkf"
+    container.write(str(pp), container.KmerSet(k=21, keys=panel_k))
+    seqs = [src[20:120], "".join(rng.choice(list("ACGT"), size=80)),
+            src + "T" * 200]  # last one exceeds --max-len -> chunked rows
+    fq = tmp_path / "s.fastq"
+    write_fastq(str(fq), seqs)
+    outs = []
+    for extra in ([], ["--shards", 4]):
+        assert run_cli("scan", pp, fq, "--per-read", "--batch-reads", 8,
+                       "--max-len", 128, *extra) == 0
+        outs.append(capsys.readouterr().out)
+    assert outs[0] == outs[1]
+    want = G.scan_panel(21, panel_k, seqs)
+    summary = json.loads(outs[1].strip().splitlines()[0])
+    assert summary["total_hits"] == int(want.sum())
+    assert summary["reads_with_hits"] == int((want > 0).sum())
+
+
 def test_shards_validation(tmp_path, reads, capsys):
     fq = tmp_path / "v.fastq"
     write_fastq(str(fq), reads)

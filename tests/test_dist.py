@@ -166,15 +166,19 @@ def test_distributed_pulldown_matches_golden(mesh8):
 
     phi, plo, cap = shuffle.partition_panel(panel_keys, k, D)
     step = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
-                                      n_samples, cap, capacity_factor=8.0)
-    hits, overflow = step(codes, lengths, sample_ids, phi, plo)
+                                      cap, capacity_factor=8.0)
+    row_hits, overflow = step(codes, lengths, phi, plo)
     assert np.all(np.asarray(overflow) == 0)
-    hits = np.asarray(hits).reshape(D, n_samples)[0]
+    row_hits = np.asarray(row_hits).reshape(D, R)[0]
 
+    # per-read hits must match golden exactly; per-sample totals derive
+    want_rows = G.scan_panel(k, panel_keys, seqs)
+    assert np.array_equal(row_hits, want_rows)
+    hits = np.zeros(n_samples, np.int64)
+    np.add.at(hits, sample_ids, row_hits)
     want = np.zeros(n_samples, np.int64)
-    per_read = G.scan_panel(k, panel_keys, seqs)
     for i in range(R):
-        want[sample_ids[i]] += per_read[i]
+        want[sample_ids[i]] += want_rows[i]
     assert np.array_equal(hits, want)
 
 
@@ -220,12 +224,15 @@ def test_pulldown_sixteen_samples(mesh8):
 
     phi, plo, cap = shuffle.partition_panel(panel_keys, k, D)
     step = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
-                                      n_samples, cap, capacity_factor=8.0)
-    hits, overflow = step(codes, lengths, sample_ids, phi, plo)
+                                      cap, capacity_factor=8.0)
+    row_hits, overflow = step(codes, lengths, phi, plo)
     assert np.all(np.asarray(overflow) == 0)
-    hits = np.asarray(hits).reshape(D, n_samples)[0]
+    row_hits = np.asarray(row_hits).reshape(D, R)[0]
 
     per_read = G.scan_panel(k, panel_keys, seqs)
+    assert np.array_equal(row_hits, per_read)
+    hits = np.zeros(n_samples, np.int64)
+    np.add.at(hits, sample_ids, row_hits)
     want = np.zeros(n_samples, np.int64)
     for i in range(R):
         want[sample_ids[i]] += per_read[i]

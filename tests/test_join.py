@@ -1,0 +1,87 @@
+"""Sort-merge membership join vs the binary-search oracle and golden."""
+
+import numpy as np
+import pytest
+
+from zotpu import semantics as S
+from zotpu.kernels import join as J
+from zotpu.kernels import pack, search
+from zotpu.reference_impl import golden as G
+from tests.test_kernels import make_batch
+
+
+def _panel(keys, cap):
+    hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+    lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+    hi[:len(keys)], lo[:len(keys)] = S.split_hi_lo(np.asarray(keys, np.uint64))
+    return hi, lo
+
+
+@pytest.mark.parametrize("k,n_reads,read_len", [(21, 37, 120), (11, 8, 50)])
+def test_row_hits_join_matches_golden(k, n_reads, read_len):
+    rng = np.random.default_rng(k + n_reads)
+    src = "".join(rng.choice(list("ACGT"), size=500))
+    panel_keys, _ = G.kmerize(k, [src])
+    phi, plo = _panel(panel_keys, 1 << (len(panel_keys) - 1).bit_length())
+    # mix of panel substrings, random reads, and N-containing reads
+    seqs = []
+    for i in range(n_reads):
+        if i % 3 == 0:
+            off = rng.integers(0, 500 - read_len)
+            seqs.append(src[off:off + read_len])
+        else:
+            seqs.append("".join(rng.choice(list("ACGTN"), size=read_len)))
+    codes = np.stack([np.pad(G.encode(s), (0, read_len - len(s)),
+                             constant_values=S.INVALID_CODE) for s in seqs])
+    lengths = np.full(n_reads, read_len, np.int32)
+    hi, lo, w = pack.pack_canonical(codes, lengths, k)
+    got = np.asarray(J.row_hits_sorted_join(phi, plo, hi, lo, n_reads,
+                                            read_len - k + 1))
+    want = G.scan_panel(k, panel_keys, seqs)
+    assert np.array_equal(got, want)
+    # and the binary-search oracle agrees
+    m = read_len - k + 1
+    oracle = np.asarray(search.member2(phi, plo, hi, lo)).reshape(n_reads, m)
+    assert np.array_equal(got, oracle.sum(axis=1).astype(np.int32))
+
+
+def test_join_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(3)
+    n_rows, m_per_row = 64, 512  # 32768 = TILE_E boundary
+    panel_keys = np.unique(rng.integers(0, 1 << 40, 5000).astype(np.uint64))
+    phi, plo = _panel(panel_keys, 8192)
+    qk = rng.integers(0, 1 << 40, n_rows * m_per_row).astype(np.uint64)
+    # force overlap
+    qk[::7] = panel_keys[rng.integers(0, len(panel_keys), len(qk[::7]))]
+    qhi, qlo = S.split_hi_lo(qk)
+    import jax.numpy as jnp
+    tag = (np.repeat(np.arange(n_rows, dtype=np.uint32), m_per_row) + 1)
+    order = np.lexsort((qlo, qhi))
+    hit_p, tag_p = J._join_pallas(jnp.asarray(phi), jnp.asarray(plo),
+                                  jnp.asarray(qhi[order]),
+                                  jnp.asarray(qlo[order]),
+                                  jnp.asarray(tag[order]), interpret=True)
+    hit_x, tag_x = J._join_xla(jnp.asarray(phi), jnp.asarray(plo),
+                               jnp.asarray(qhi), jnp.asarray(qlo),
+                               jnp.asarray(tag))
+    rows_p = np.asarray(J._rowsum_by_tag(hit_p, tag_p, n_rows))
+    rows_x = np.asarray(J._rowsum_by_tag(hit_x, tag_x, n_rows))
+    assert np.array_equal(rows_p, rows_x)
+    want = np.isin(qk, panel_keys)
+    want_rows = want.reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32)
+    assert np.array_equal(rows_x, want_rows)
+
+
+def test_join_duplicate_queries_same_key():
+    """Many queries equal to one panel key all count as hits."""
+    import jax.numpy as jnp
+    panel_keys = np.array([100, 200, 300], np.uint64)
+    phi, plo = _panel(panel_keys, 8)
+    qk = np.array([200] * 5 + [150] * 3, np.uint64)
+    qhi, qlo = S.split_hi_lo(qk)
+    tag = np.ones(8, np.uint32)  # all one row
+    hit, tag_o = J._join_xla(jnp.asarray(phi), jnp.asarray(plo),
+                             jnp.asarray(qhi), jnp.asarray(qlo),
+                             jnp.asarray(tag))
+    rows = np.asarray(J._rowsum_by_tag(hit, tag_o, 1))
+    assert rows[0] == 5

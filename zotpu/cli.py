@@ -37,12 +37,39 @@ def _load_padded(path: str):
     return ks, counts
 
 
+def _init_multihost(args):
+    """Bring up jax.distributed from the CLI flags (multi-host runs).
+
+    Returns (process_id, inputs_for_this_host). Input files are assigned
+    round-robin across hosts (data-parallel reading, SURVEY.md section 2b);
+    every host must still be launched with the same command line."""
+    import jax
+
+    from zotpu.dist import mesh as M
+    if not args.num_processes or args.num_processes <= 1:
+        return 0, args.inputs
+    if args.process_id is None or args.coordinator is None:
+        raise ValueError(
+            "--num-processes needs --coordinator HOST:PORT and --process-id")
+    M.init_distributed(args.coordinator, args.num_processes, args.process_id)
+    if args.shards <= 1:
+        args.shards = len(jax.devices())
+    local = args.inputs[args.process_id::args.num_processes]
+    logger_host = jax.process_index()
+    return logger_host, local
+
+
 def cmd_kmerize(args):
     import time
 
+    # distributed init MUST precede any module that builds a jnp constant at
+    # import time (kernels.pack's SENT32 initializes the XLA backend)
+    host_id, inputs = _init_multihost(args)
     from zotpu import metrics
     from zotpu.workloads import kmerize as W
-    logger = metrics.MetricsLogger(args.metrics) if args.metrics else None
+    args = argparse.Namespace(**{**vars(args), "inputs": inputs})
+    logger = (metrics.MetricsLogger(args.metrics, host_id=host_id)
+              if args.metrics else None)
     stats = W.Stats()
     t0 = time.perf_counter()
     with metrics.profiled(args.trace):
@@ -65,11 +92,12 @@ def cmd_kmerize(args):
                 max_len=args.max_len, spill_dir=args.spill_dir, stats=stats,
                 resume=args.resume, merge_capacity=args.merge_capacity)
     wall = time.perf_counter() - t0
-    container.write(args.output, container.KmerSet(
-        k=args.k, keys=keys, counts=counts,
-        meta={"tool": "zotpu kmerize", "inputs": args.inputs,
-              "stats": stats.as_dict()}),
-        codec="zlib" if args.compress else "raw")
+    if host_id == 0:  # multi-host: every host holds the result; host 0 writes
+        container.write(args.output, container.KmerSet(
+            k=args.k, keys=keys, counts=counts,
+            meta={"tool": "zotpu kmerize", "inputs": args.inputs,
+                  "stats": stats.as_dict()}),
+            codec="zlib" if args.compress else "raw")
     if logger:
         logger.log("kmerize", **metrics.kmerize_stage_metrics(
             stats, wall, n_chips=stats.n_chips))
@@ -218,6 +246,10 @@ def cmd_scan(args):
             hits = G.scan_panel(panel.k, panel.keys, seqs)
             results.append((int(hits.sum()), int((hits > 0).sum()),
                             [int(h) for h in hits]))
+    elif args.shards > 1:
+        results = pulldown.pulldown_paths_sharded(
+            panel.keys, args.samples, panel.k, args.shards,
+            batch_reads=args.batch_reads, max_len=args.max_len)
     else:
         results = pulldown.pulldown_paths(
             panel.keys, args.samples, panel.k,
@@ -333,6 +365,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append JSONL stage metrics to this file")
     sp.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
+    sp.add_argument("--coordinator", default=None,
+                    help="HOST:PORT of process 0 for multi-host runs "
+                         "(jax.distributed)")
+    sp.add_argument("--num-processes", type=int, default=None,
+                    help="total controller processes in a multi-host run")
+    sp.add_argument("--process-id", type=int, default=None,
+                    help="this process's id in [0, num-processes)")
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
     common(sp, batch=True)
@@ -380,6 +419,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out-reads", default=None,
                     help="write reads with >= --min-hits panel k-mers here (FASTQ)")
     sp.add_argument("--min-hits", type=int, default=1)
+    sp.add_argument("--shards", type=int, default=1,
+                    help="hash-shard the panel across N local devices "
+                         "(power of two; all-to-all k-mer routing)")
     common(sp, batch=True)
     sp.set_defaults(fn=cmd_scan)
 

@@ -138,11 +138,15 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         return (uhi[None], ulo[None], counts[None],
                 n[None].astype(jnp.int32), overflow[None], routed[None])
 
+    # check_vma=False: the Pallas pack kernel's out_shape has no varying-
+    # mesh-axes annotation, which the checker rejects on TPU (collectives
+    # here are explicit and covered by the byte-equality tests).
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
         out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
                    P(AXIS), P(AXIS)),
+        check_vma=False,
         )
     return jax.jit(fn), cap_out
 
@@ -162,44 +166,59 @@ def gather_global(uhi, ulo, counts, n_unique):
 
 
 def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
-                       n_samples: int, panel_cap: int,
-                       capacity_factor: float = 2.0):
+                       panel_cap: int, capacity_factor: float = 2.0):
     """Multi-chip panel pulldown (BASELINE config 5).
 
     The panel is sharded by the same key prefix as kmerize: shard d holds the
-    panel keys whose owner is d (sentinel-padded to panel_cap). Read k-mers are
-    routed to their owner shard carrying their sample id; each shard probes its
-    panel range via the two-word binary search; per-sample hit counts are
-    psum'd across shards.
+    panel keys whose owner is d (sentinel-padded to panel_cap). Read k-mers
+    are routed to their owner shard carrying their global READ-ROW id; each
+    shard probes its panel range via the two-word binary search and the
+    per-row hit counts are psum'd across shards -- so the sharded scan yields
+    the same per-read output surface as the single-chip path (per-sample
+    totals, reads_with_hits, per-read rows, pulldown FASTQ all derive from
+    it on the host).
 
-    Input (global): codes (D*R, L), lengths (D*R,), sample_ids (D*R,) int32,
-    panel_hi/lo (D, panel_cap). Output: hits (n_samples,) int32 (replicated),
-    overflow (D,).
+    Input (global): codes (D*R, L), lengths (D*R,), panel_hi/lo
+    (D, panel_cap). Output: row_hits (D*R,) int32 (replicated across the
+    mesh), overflow (D,).
     """
-    from zotpu.kernels.search import member2
+    from zotpu.kernels.join import _join_xla
 
     S.check_k(k)
     D = mesh.devices.size
     m_per_read = read_len - k + 1
     m_local = reads_per_chip * m_per_read
     cap = int(np.ceil(m_local * capacity_factor / D))
+    cap2 = (cap + 3) // 4 if D > 1 else 0
+    R_total = D * reads_per_chip
 
-    def local_step(codes, lengths, sample_ids, phi, plo):
+    def local_step(codes, lengths, phi, plo):
         phi, plo = phi[0], plo[0]
         hi, lo, w = pack_canonical(codes, lengths, k)
-        sid = jnp.repeat(sample_ids.astype(jnp.uint32), m_per_read)
-        hi, lo, sid = jax.lax.sort((hi, lo, sid), num_keys=2)
-        (rhi, rlo, rsid), overflow = _route(hi, lo, k, D, cap, payload=(sid,))
-        hit = member2(phi, plo, rhi, rlo)
-        hits = jnp.zeros(n_samples, jnp.int32).at[rsid.astype(jnp.int32)].add(
-            hit.astype(jnp.int32), mode="drop")
+        my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
+        rid = (my * reads_per_chip
+               + jax.lax.broadcasted_iota(jnp.uint32, (reads_per_chip, 1), 0)
+               ).reshape(-1)
+        rid = jnp.repeat(rid, m_per_read)
+        hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
+        (rhi, rlo, rrid), overflow = _route(hi, lo, k, D, cap, payload=(rid,),
+                                            capacity2=cap2)
+        # membership = sort-merge join vs this shard's panel range (the
+        # round-1 binary search gathered the panel per bisection step; see
+        # kernels/join.py). Tags are rid+1 (0 = panel row).
+        hit, tag = _join_xla(phi, plo, rhi, rlo, rrid + jnp.uint32(1))
+        cond = hit & (tag > 0)
+        idx = jnp.where(cond, tag.astype(jnp.int32) - 1, R_total)
+        hits = jnp.zeros(R_total, jnp.int32).at[idx].add(
+            cond.astype(jnp.int32), mode="drop")
         hits = jax.lax.psum(hits, AXIS)
         return hits[None], overflow[None]
 
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None)),
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None)),
         out_specs=(P(AXIS, None), P(AXIS)),
+        check_vma=False,  # see make_kmerize_step note
         )
     return jax.jit(fn)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from zotpu.kernels.setops import SENT32, _combine_sorted, _compact_kept
-from zotpu.kernels.sort_pallas import TILE_E, stream_merge_pass_pallas
+from zotpu.kernels.sort_pallas import TILE_E, stream_merge_pair_pallas
 
 
 def _next_pow2(x: int) -> int:
@@ -36,26 +36,26 @@ def set_op_merge_path(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
     """set_op over two DENSE sorted unique sentinel-padded arrays.
 
     Same contract/outputs as ``setops.set_op`` (hi, lo, counts, n_out) except
-    the output capacity is 2*max(next_pow2(|A|), next_pow2(|B|), TILE_E)
+    the output capacity is next_pow2(|A|) + next_pow2(|B|) (tile-clamped)
     rather than |A|+|B|; rows past n_out are sentinel/0 either way.
     """
-    M = max(_next_pow2(hi_a.shape[0]), _next_pow2(hi_b.shape[0]), TILE_E)
+    MA = max(_next_pow2(hi_a.shape[0]), TILE_E)
+    MB = max(_next_pow2(hi_b.shape[0]), TILE_E)
 
-    def padk(x):
+    def padk(x, M):
         return jnp.concatenate(
             [x, jnp.full(M - x.shape[0], SENT32, jnp.uint32)])
 
-    def padc(x):
+    def padc(x, M):
         return jnp.concatenate(
             [x.astype(jnp.uint32), jnp.zeros(M - x.shape[0], jnp.uint32)])
 
-    zeros = jnp.zeros(M, jnp.uint32)
-    hi = jnp.concatenate([padk(hi_a), padk(hi_b)])
-    lo = jnp.concatenate([padk(lo_a), padk(lo_b)])
-    ca = jnp.concatenate([padc(c_a), zeros])
-    cb = jnp.concatenate([zeros, padc(c_b)])
-    hi, lo, ca, cb = stream_merge_pass_pallas(
-        hi, lo, (ca, cb), jnp.int32(M), interpret=interpret)
+    hi = jnp.concatenate([padk(hi_a, MA), padk(hi_b, MB)])
+    lo = jnp.concatenate([padk(lo_a, MA), padk(lo_b, MB)])
+    ca = jnp.concatenate([padc(c_a, MA), jnp.zeros(MB, jnp.uint32)])
+    cb = jnp.concatenate([jnp.zeros(MA, jnp.uint32), padc(c_b, MB)])
+    hi, lo, ca, cb = stream_merge_pair_pallas(
+        hi, lo, (ca, cb), nA=MA, interpret=interpret)
     keep_first, cnt = _combine_sorted(hi, lo, ca, cb, op)
     return _compact_kept(hi, lo, cnt, keep_first)
 

@@ -392,6 +392,95 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
     return out if pay is not None else (out[0], out[1], None)
 
 
+def _pair_partition(hi, lo, nA: int, nB: int):
+    """a0 per output tile for ONE pair [A(nA) | B(nB)] laid out contiguously.
+
+    Static nA/nB (array shapes); A-first-on-ties like _merge_partition."""
+    n = nA + nB
+    t = jnp.arange(n // TILE_E, dtype=jnp.int32)
+    d = t * TILE_E
+    lo_b = jnp.maximum(0, d - nB)
+    hi_b = jnp.minimum(d, nA)
+
+    def a_le_b(a_idx, b_idx):
+        ga = jnp.clip(a_idx, 0, n - 1)
+        gb = jnp.clip(nA + b_idx, 0, n - 1)
+        le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
+        le = jnp.where(a_idx < 0, True, le)
+        le = jnp.where(b_idx >= nB, True, le)
+        le = jnp.where(b_idx < 0, False, le)
+        return le
+
+    def body(_, carry):
+        lo_c, hi_c = carry
+        mid = (lo_c + hi_c + 1) >> 1
+        ok = a_le_b(mid - 1, d - mid)
+        lo_c = jnp.where(ok, mid, lo_c)
+        hi_c = jnp.where(ok, hi_c, mid - 1)
+        return lo_c, hi_c
+
+    a0, _ = jax.lax.fori_loop(0, 31, body, (lo_b, hi_b))
+    return a0
+
+
+@functools.partial(jax.jit, static_argnames=("nA", "interpret"))
+def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False):
+    """Merge ONE pair of sorted runs A = [:nA], B = [nA:] of UNEQUAL static
+    lengths (both multiples of TILE_E) into a fully sorted array.
+
+    Same kernel as stream_merge_pass_pallas; only the XLA-side merge-path
+    partition differs. pay may be None, one u32 array, or a tuple.
+    """
+    n = hi.shape[0]
+    nB = n - nA
+    ntiles = n // TILE_E
+    a0 = _pair_partition(hi, lo, nA, nB)
+    a1 = jnp.concatenate([a0[1:], jnp.full((1,), nA, a0.dtype)])
+    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    gb0 = nA + b0
+    scal = jnp.stack([
+        a0 // LANES, gb0 // LANES, a0 % LANES, gb0 % LANES,
+        a1 - a0, b1 - b0,
+    ]).astype(jnp.int32)
+
+    pad_rows = LOAD_R
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x.reshape(-1, LANES),
+             jnp.full((pad_rows, LANES), fill, x.dtype)])
+
+    pays = (() if pay is None
+            else tuple(pay) if isinstance(pay, (tuple, list)) else (pay,))
+    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
+    chans += [pad(p, jnp.uint32(0)) for p in pays]
+    nch = len(chans)
+
+    out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nch,
+        out_specs=[out_spec] * nch,
+        scratch_shapes=[
+            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(2 * nch)
+        ] + [pltpu.SemaphoreType.DMA((2 * nch,))],
+    )
+    out = pl.pallas_call(
+        _make_stream_kernel(nch),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * nch,
+        interpret=interpret,
+    )(scal, *chans)
+    out = tuple(x.reshape(-1) for x in out)
+    if isinstance(pay, (tuple, list)):
+        return out
+    return out if pay is not None else (out[0], out[1], None)
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 0).bit_length()
 

@@ -18,6 +18,12 @@ def setup(cache_dir: str | None = None) -> None:
     if _CACHE_SET:
         return
     import jax
+    # ZOTPU_PLATFORM=cpu pins the platform even on hosts whose site setup
+    # force-registers an accelerator backend and ignores JAX_PLATFORMS
+    # (needed by the multi-controller CPU tests driving the real CLI).
+    plat = os.environ.get("ZOTPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     cache = (cache_dir or os.environ.get("ZOTPU_JAX_CACHE")
              or os.path.expanduser("~/.cache/zotpu_jax"))
     try:

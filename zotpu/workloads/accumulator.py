@@ -172,13 +172,31 @@ class ShardedAccumulator:
     path previously gathered every batch to the host)."""
 
     def __init__(self, n_shards: int, batch_capacity: int,
-                 max_cap: int = 1 << 26):
+                 max_cap: int = 1 << 26, mesh=None):
         self.n_shards = n_shards
         self.base_cap = _next_pow2(batch_capacity)
         # max_cap is the GLOBAL unique-key capacity; each shard gets its slice
         self.max_cap = max(max_cap // n_shards, self.base_cap)
-        self.overflow = jnp.zeros((n_shards,), jnp.int32)
+        # With a mesh, state arrays carry explicit shard-axis shardings so the
+        # same SPMD program runs under multi-controller (each process owns its
+        # shards' rows); without one, XLA's propagation handles it.
+        self.mesh = mesh
+        self.overflow = self._shard1(np.zeros(n_shards, np.int32))
         self.levels: list = []
+
+    def _shard1(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from zotpu.dist.mesh import AXIS
+        return jax.device_put(x, NamedSharding(self.mesh, P(AXIS)))
+
+    def _shard2(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from zotpu.dist.mesh import AXIS
+        return jax.device_put(x, NamedSharding(self.mesh, P(AXIS, None)))
 
     def _cap(self, i: int) -> int:
         return min(self.base_cap << i, self.max_cap)
@@ -192,8 +210,9 @@ class ShardedAccumulator:
                 f"capacity {self._cap(0)}")
         pad = self._cap(0) - uhi.shape[1]
         if pad:
-            padk = jnp.full((self.n_shards, pad), 0xFFFFFFFF, jnp.uint32)
-            padc = jnp.zeros((self.n_shards, pad), jnp.uint32)
+            padk = self._shard2(np.full((self.n_shards, pad), 0xFFFFFFFF,
+                                        np.uint32))
+            padc = self._shard2(np.zeros((self.n_shards, pad), np.uint32))
             uhi = jnp.concatenate([uhi, padk], axis=1)
             ulo = jnp.concatenate([ulo, padk], axis=1)
             counts = jnp.concatenate([counts, padc], axis=1)
@@ -219,7 +238,8 @@ class ShardedAccumulator:
         """Merge remaining levels, check deferred overflow, compact each
         shard, and transfer the per-shard arrays (the single host sync).
         Returns numpy (uhi, ulo, counts, n_unique) in the gather_global
-        layout: (D, cap) + (D,)."""
+        layout: (D, cap) + (D,). Under multi-controller the transfer is a
+        process_allgather, so every host returns the full global result."""
         from zotpu.kernels.sortdedup import compact_sorted
         entry = None
         cap_final = self._cap(len(self.levels))
@@ -230,13 +250,19 @@ class ShardedAccumulator:
         if entry is None:
             z = np.zeros((self.n_shards, 0), np.uint32)
             return z, z, z, np.zeros(self.n_shards, np.int32)
-        ov = np.asarray(self.overflow)
+        hi, lo, cnt, n = entry[:4]
+        hi, lo, cnt = jax.vmap(compact_sorted)(hi, lo, cnt)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mh
+            hi, lo, cnt, n, ov = (
+                mh.process_allgather(x, tiled=True)
+                for x in (hi, lo, cnt, n, self.overflow))
+        else:
+            hi, lo, cnt, n, ov = (np.asarray(x)
+                                  for x in (hi, lo, cnt, n, self.overflow))
         if int(ov.max(initial=0)) > 0:
             raise CapacityError(
                 f"sharded accumulator overflowed its per-shard unique-key "
                 f"capacity by {int(ov.max())} (shard {int(ov.argmax())}); "
                 f"rerun with a larger --merge-capacity")
-        hi, lo, cnt, n = entry
-        hi, lo, cnt = jax.vmap(compact_sorted)(hi, lo, cnt)
-        return (np.asarray(hi), np.asarray(lo), np.asarray(cnt),
-                np.asarray(n).astype(np.int32))
+        return hi, lo, cnt, np.asarray(n).astype(np.int32)

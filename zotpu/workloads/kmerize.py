@@ -211,6 +211,51 @@ def resume_from_spills(spill_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return merge_runs(runs)
 
 
+@dataclasses.dataclass
+class _GlobalBatch:
+    """A multi-controller batch: globally-sharded device arrays."""
+    codes: object
+    lengths: object
+
+
+def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats):
+    """Batch stream for the sharded step.
+
+    Single controller: plain numpy batches (XLA shards them on dispatch).
+    Multi-controller (jax.distributed): each host parses ONLY its own input
+    files into the rows of its addressable shards and the global batch is
+    assembled with jax.make_array_from_process_local_data -- data-parallel
+    reading with no cross-host byte shipping (SURVEY.md section 2b DP row).
+    Hosts whose files run out feed empty rows until every host is drained
+    (steps are collective, so all hosts must iterate in lockstep)."""
+    if jax.process_count() == 1:
+        yield from _iter_batches(paths, rtot, max_len, k, stats)
+        return
+    from jax.experimental import multihost_utils as mh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zotpu.dist.mesh import AXIS
+    n_local = sum(1 for d in mesh.devices.flat
+                  if d.process_index == jax.process_index())
+    local_rows = reads_per_chip * n_local
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    sh1 = NamedSharding(mesh, P(AXIS))
+    it = iter(_iter_batches(paths, local_rows, max_len, k, stats))
+    while True:
+        batch = next(it, None)
+        has_more = mh.process_allgather(np.asarray([batch is not None]))
+        if not bool(np.any(has_more)):
+            return
+        if batch is None:  # this host is drained; feed all-padding rows
+            codes_l = np.full((local_rows, max_len), S.INVALID_CODE, np.uint8)
+            lengths_l = np.zeros(local_rows, np.int32)
+        else:
+            codes_l, lengths_l = batch.codes, batch.lengths
+        yield _GlobalBatch(
+            jax.make_array_from_process_local_data(sh2, codes_l),
+            jax.make_array_from_process_local_data(sh1, lengths_l))
+
+
 def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                           batch_reads: int = 4096, max_len: int = 256,
                           stats: Stats | None = None,
@@ -243,9 +288,16 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     stats = stats if stats is not None else Stats()
     stats.n_chips = n_shards
     n_dev = len(jax.devices())
+    multi = jax.process_count() > 1
     if n_shards > n_dev:
         raise ValueError(
             f"--shards {n_shards} exceeds the {n_dev} available device(s)")
+    if multi and n_shards != n_dev:
+        raise ValueError(
+            f"multi-host runs must shard over every device: --shards "
+            f"{n_shards} != {n_dev} global devices")
+    if multi and spill_dir is not None:
+        raise ValueError("--spill-dir/--resume are single-controller only")
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
@@ -258,7 +310,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     routed_tot = None      # per-shard routed k-mer volumes (device)
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     batch_no = 0
-    for batch in _iter_batches(paths, rtot, max_len, k, stats):
+    for batch in _iter_global_batches(paths, mesh, reads_per_chip, rtot,
+                                      max_len, k, stats):
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
@@ -275,7 +328,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             if acc is None:
                 # each shard can receive up to cap_out entries per batch
                 acc = ShardedAccumulator(n_shards, cap_out,
-                                         max_cap=merge_capacity)
+                                         max_cap=merge_capacity, mesh=mesh)
             acc.add(uhi.reshape(n_shards, -1), ulo.reshape(n_shards, -1),
                     counts.reshape(n_shards, -1), n_unique)
             route_overflow = (overflow if route_overflow is None
@@ -300,15 +353,32 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             keys = np.empty(0, np.uint64)
             counts = np.empty(0, S.COUNT_DTYPE)
         else:
-            if int(np.asarray(route_overflow).sum()) > 0:
+            if multi:
+                from jax.experimental import multihost_utils as mh
+                ovf = int(mh.process_allgather(route_overflow,
+                                               tiled=True).sum())
+            else:
+                ovf = int(np.asarray(route_overflow).sum())
+            if ovf > 0:
                 raise ValueError(
                     "all-to-all bucket overflow (deferred): raise "
                     "capacity_factor")
             keys, counts = shuffle.gather_global(*acc.result())
             stats.kmers = int(counts.sum(dtype=np.uint64))
         if routed_tot is not None:
-            stats.routed_per_shard = [int(x) for x in np.asarray(routed_tot)]
+            if multi:
+                from jax.experimental import multihost_utils as mh
+                routed = mh.process_allgather(routed_tot, tiled=True)
+            else:
+                routed = np.asarray(routed_tot)
+            stats.routed_per_shard = [int(x) for x in routed]
     else:
         keys, counts = merge_runs(runs)
+    if multi:
+        # reads/bases were counted per host; sum across hosts
+        from jax.experimental import multihost_utils as mh
+        agg = mh.process_allgather(
+            np.asarray([[stats.reads, stats.bases]], np.int64))
+        stats.reads, stats.bases = (int(x) for x in agg.reshape(-1, 2).sum(0))
     stats.unique = len(keys)
     return keys, counts

@@ -20,17 +20,22 @@ import numpy as np
 
 from zotpu import semantics as S
 from zotpu.io import fastq
-from zotpu.kernels import dispatch, search
+from zotpu.kernels import dispatch
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def scan_batch(codes, lengths, panel_hi, panel_lo, k: int):
-    """(R, L) codes vs sorted panel -> (R,) per-read hit counts (int32)."""
+    """(R, L) codes vs sorted panel -> (R,) per-read hit counts (int32).
+
+    Membership is a gather-free SORT-MERGE JOIN (kernels/join.py): the
+    round-1 binary search gathered the panel ~log n times per query, which
+    XLA:TPU lowers at ~0.03 Gelem/s (measured ~2 Mkmer/s end to end)."""
+    from zotpu.kernels.join import row_hits_sorted_join
+
     R, L = codes.shape
     m = L - k + 1
     hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
-    hit = search.member2(panel_hi, panel_lo, hi, lo)
-    return jnp.sum(hit.reshape(R, m).astype(jnp.int32), axis=1)
+    return row_hits_sorted_join(panel_hi, panel_lo, hi, lo, R, m)
 
 
 def panel_to_device(keys: np.ndarray, capacity: int | None = None):
@@ -46,37 +51,83 @@ def panel_to_device(keys: np.ndarray, capacity: int | None = None):
     return jnp.asarray(hi), jnp.asarray(lo)
 
 
+class RecordAggregator:
+    """Re-aggregate per-ROW hit counts into per-RECORD counts.
+
+    Overlong records are halo-chunked into several rows (possibly spanning
+    batch boundaries), and counting rows would overstate reads_with_hits /
+    misalign per-read output (ADVICE round 1). Chunk halos never duplicate a
+    k-mer start position, so summing row hits per record is exact."""
+
+    def __init__(self):
+        self.per_read: list[int] = []
+        self._last_id = -1
+
+    def add(self, row_hits: np.ndarray, record_ids: np.ndarray) -> None:
+        # record_ids are non-decreasing; reduce rows -> records in the batch
+        uniq, inv = np.unique(record_ids, return_inverse=True)
+        sums = np.bincount(inv, weights=row_hits).astype(np.int64)
+        for rid, hsum in zip(uniq, sums):
+            if self.per_read and rid == self._last_id:
+                self.per_read[-1] += int(hsum)  # record spans batches
+            else:
+                self.per_read.append(int(hsum))
+                self._last_id = int(rid)
+
+    def result(self) -> tuple[int, int, list[int]]:
+        total = sum(self.per_read)
+        reads_hit = sum(1 for h in self.per_read if h > 0)
+        return total, reads_hit, self.per_read
+
+
 def pulldown_paths(panel_keys: np.ndarray, sample_paths: list[str], k: int,
                    batch_reads: int = 4096, max_len: int = 256):
-    """Per-sample (total_hits, reads_with_hits, per_read_hits list).
-
-    Rows are re-aggregated by ``CodeBatch.record_ids`` before any per-read
-    statistic: overlong records are halo-chunked into several rows (possibly
-    spanning batch boundaries), and counting rows would overstate
-    reads_with_hits / misalign per-read output (ADVICE round 1). Chunk halos
-    never duplicate a k-mer start position, so summing row hits per record is
-    exact.
-    """
+    """Per-sample (total_hits, reads_with_hits, per_read_hits list)."""
     phi, plo = panel_to_device(panel_keys)
     results = []
     for path in sample_paths:
-        per_read: list[int] = []
-        last_id = -1
+        agg = RecordAggregator()
         for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
             hits = np.asarray(scan_batch(batch.codes, batch.lengths, phi, plo, k))
             n = batch.n_reads
-            hits = hits[:n]
-            rids = batch.record_ids[:n]
-            # rids are non-decreasing; reduce rows -> records within the batch
-            uniq, inv = np.unique(rids, return_inverse=True)
-            sums = np.bincount(inv, weights=hits).astype(np.int64)
-            for rid, hsum in zip(uniq, sums):
-                if per_read and rid == last_id:
-                    per_read[-1] += int(hsum)  # record continued across batches
-                else:
-                    per_read.append(int(hsum))
-                    last_id = int(rid)
-        total = sum(per_read)
-        reads_hit = sum(1 for h in per_read if h > 0)
-        results.append((total, reads_hit, per_read))
+            agg.add(hits[:n], batch.record_ids[:n])
+        results.append(agg.result())
+    return results
+
+
+def pulldown_paths_sharded(panel_keys: np.ndarray, sample_paths: list[str],
+                           k: int, n_shards: int, batch_reads: int = 4096,
+                           max_len: int = 256, capacity_factor: float = 4.0):
+    """Hash-sharded pulldown (BASELINE config 5): the panel is partitioned by
+    key prefix across the mesh, read k-mers are all-to-all routed to their
+    owner shard carrying read-row ids, and per-row hits are psum'd back --
+    same per-record output surface as the single-chip path."""
+    import jax
+
+    from zotpu.dist import mesh as M
+    from zotpu.dist import shuffle
+
+    n_dev = len(jax.devices())
+    if n_shards > n_dev:
+        raise ValueError(
+            f"--shards {n_shards} exceeds the {n_dev} available device(s)")
+    mesh = M.make_mesh(n_shards)
+    reads_per_chip = max(batch_reads // n_shards, 1)
+    rtot = reads_per_chip * n_shards
+    phi, plo, cap = shuffle.partition_panel(panel_keys, k, n_shards)
+    step = shuffle.make_pulldown_step(mesh, k, reads_per_chip, max_len, cap,
+                                      capacity_factor=capacity_factor)
+    results = []
+    for path in sample_paths:
+        agg = RecordAggregator()
+        for batch in fastq.parse_batches(path, rtot, max_len, halo=k - 1):
+            row_hits, overflow = step(batch.codes, batch.lengths, phi, plo)
+            if int(np.asarray(overflow).sum()) > 0:
+                raise ValueError(
+                    "all-to-all bucket overflow in scan: raise "
+                    "capacity_factor")
+            hits = np.asarray(row_hits).reshape(n_shards, -1)[0]
+            n = batch.n_reads
+            agg.add(hits[:n], batch.record_ids[:n])
+        results.append(agg.result())
     return results
