@@ -189,3 +189,63 @@ def test_prefetch_order_and_errors():
     assert next(gen) == 1
     with _pytest.raises(RuntimeError, match="parse failed"):
         list(gen)
+
+
+def test_chunked_parse_equivalence(tmp_path, monkeypatch, rng):
+    """Tiny read chunks (every carry path) must yield byte-identical batches
+    to one-shot parsing, for FASTQ and multi-line FASTA with overlong
+    records (the bounded-memory streaming contract)."""
+    from zotpu.io import fastq as FQ
+
+    seqs = ["".join(rng.choice(list("ACGTN"), size=int(n)))
+            for n in rng.integers(5, 400, 60)]
+    fq = tmp_path / "c.fastq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    fa = tmp_path / "c.fasta"
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">rec{i}\n")
+            for j in range(0, len(s), 37):   # multi-line records
+                f.write(s[j:j + 37] + "\n")
+
+    def collect(path):
+        out = []
+        for b in FQ.parse_batches(str(path), 16, 128, halo=20):
+            out.append((b.codes.copy(), b.lengths.copy(), b.n_reads,
+                        b.bases, b.record_ids.copy()))
+        return out
+
+    monkeypatch.setenv("ZOTPU_PALLAS", "0")
+    for path in (fq, fa):
+        want = collect(path)
+        for chunk in (17, 256, 4096):
+            monkeypatch.setenv("ZOTPU_CHUNK_BYTES", str(chunk))
+            got = collect(path)
+            monkeypatch.delenv("ZOTPU_CHUNK_BYTES")
+            assert len(got) == len(want), (path, chunk)
+            for g, w in zip(got, want):
+                for gg, ww in zip(g, w):
+                    assert np.array_equal(gg, ww), (path, chunk)
+
+
+def test_chunked_kmerize_byte_equal(tmp_path, monkeypatch, rng):
+    """kmerize over a tiny-chunk stream == golden (end-to-end, gzip too)."""
+    import gzip as _gzip
+
+    from zotpu.reference_impl import golden as G2
+    from zotpu.workloads import kmerize as W
+
+    seqs = ["".join(rng.choice(list("ACGT"), size=90)) for _ in range(50)]
+    raw = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                  for i, s in enumerate(seqs))
+    fqgz = tmp_path / "c.fastq.gz"
+    with _gzip.open(fqgz, "wb") as f:
+        f.write(raw.encode())
+    monkeypatch.setenv("ZOTPU_CHUNK_BYTES", "103")
+    keys, counts = W.kmerize_paths([str(fqgz)], 15, batch_reads=8,
+                                   max_len=128)
+    want_k, want_c = G2.kmerize(15, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(counts, want_c)

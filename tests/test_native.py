@@ -30,7 +30,7 @@ def test_native_matches_numpy_path(tmp_path, lib):
              for _ in range(57)]
     p = str(tmp_path / "x.fastq")
     _write_fastq(p, reads)
-    nat = list(native.parse_batches_native(p, 16, 128))
+    nat = list(fastq.parse_batches(p, 16, 128))
     assert sum(b.n_reads for b in nat) == len(reads)
     i = 0
     for b in nat:
@@ -46,15 +46,15 @@ def test_native_is_default_fastq_path(tmp_path, lib, monkeypatch):
     p = str(tmp_path / "y.fastq.gz")
     _write_fastq(p, reads, gz=True)
     called = {"n": 0}
-    orig = native.parse_batches_native
+    orig = native.parse_fastq_buffer
 
     def spy(*a, **kw):
         called["n"] += 1
         return orig(*a, **kw)
 
-    monkeypatch.setattr(native, "parse_batches_native", spy)
+    monkeypatch.setattr(native, "parse_fastq_buffer", spy)
     batches = list(fastq.parse_batches(p, 8, 32))
-    assert called["n"] == 1
+    assert called["n"] >= 1
     assert sum(b.n_reads for b in batches) == 5
 
 
@@ -62,8 +62,7 @@ def test_native_overlong_falls_back(tmp_path, lib):
     reads = ["A" * 300, "ACGT"]
     p = str(tmp_path / "z.fastq")
     _write_fastq(p, reads)
-    assert native.parse_batches_native(p, 8, 64) is None
-    # the generic path still handles it via halo chunking
+    # chunks containing overlong reads take the halo-chunking slow path
     batches = list(fastq.parse_batches(p, 8, 64, halo=24))
     total = sum(b.n_reads for b in batches)
     assert total >= 2
@@ -73,7 +72,7 @@ def test_native_crlf(tmp_path, lib):
     p = str(tmp_path / "crlf.fastq")
     with open(p, "wb") as f:
         f.write(b"@r0\r\nACGT\r\n+\r\nIIII\r\n")
-    batches = list(native.parse_batches_native(p, 4, 8))
+    batches = list(fastq.parse_batches(p, 4, 8))
     assert batches[0].n_reads == 1
     assert batches[0].lengths[0] == 4
     assert np.array_equal(batches[0].codes[0, :4], [0, 1, 2, 3])
@@ -83,5 +82,5 @@ def test_native_truncated_record(tmp_path, lib):
     p = str(tmp_path / "trunc.fastq")
     with open(p, "w") as f:
         f.write("@r0\nACGT\n+\nIIII\n@r1\nACGT\n")  # second record incomplete
-    batches = list(native.parse_batches_native(p, 4, 8))
+    batches = list(fastq.parse_batches(p, 4, 8))
     assert sum(b.n_reads for b in batches) == 1

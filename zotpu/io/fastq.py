@@ -118,123 +118,276 @@ def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
     return starts[is_seq], ends[is_seq]
 
 
+def _chunk_bytes() -> int:
+    """Streaming read granularity (ZOTPU_CHUNK_BYTES overrides; tests use
+    tiny chunks to exercise every carry path)."""
+    import os
+    return int(os.environ.get("ZOTPU_CHUNK_BYTES", 64 << 20))
+
+
+class _BatchEmitter:
+    """Accumulates encoded rows into fixed-shape CodeBatch-es.
+
+    Memory is bounded by one pending batch + one appended block -- the heart
+    of the bounded-RSS streaming pipeline (a WGS run larger than host RAM
+    must stream; VERDICT round 1 item 5)."""
+
+    def __init__(self, max_reads: int, max_len: int):
+        self.max_reads = max_reads
+        self.max_len = max_len
+        self._reset()
+
+    def _reset(self):
+        self.codes = np.full((self.max_reads, self.max_len), S.INVALID_CODE,
+                             np.uint8)
+        self.lengths = np.zeros(self.max_reads, np.int32)
+        self.ids = np.full(self.max_reads, -1, np.int64)
+        self.r = 0
+        self.bases = 0
+
+    def add_block(self, codes2d, lengths, ids, new_bases):
+        """Append a block of rows ((B, max_len) u8 + per-row metadata);
+        yields every CodeBatch completed along the way."""
+        b = 0
+        n = len(lengths)
+        while b < n:
+            take = min(self.max_reads - self.r, n - b)
+            self.codes[self.r:self.r + take] = codes2d[b:b + take]
+            self.lengths[self.r:self.r + take] = lengths[b:b + take]
+            self.ids[self.r:self.r + take] = ids[b:b + take]
+            self.bases += int(np.sum(new_bases[b:b + take]))
+            self.r += take
+            b += take
+            if self.r == self.max_reads:
+                yield self._emit()
+
+    def add_row(self, row, rec_id, new_bases):
+        """Append one row (<= max_len codes, padded here)."""
+        self.codes[self.r, :len(row)] = row
+        self.codes[self.r, len(row):] = S.INVALID_CODE
+        self.lengths[self.r] = len(row)
+        self.ids[self.r] = rec_id
+        self.bases += int(new_bases)
+        self.r += 1
+        if self.r == self.max_reads:
+            yield self._emit()
+
+    def _emit(self):
+        batch = CodeBatch(codes=self.codes, lengths=self.lengths,
+                          n_reads=self.r, bases=self.bases,
+                          record_ids=self.ids)
+        self._reset()
+        return batch
+
+    def flush(self):
+        if self.r:
+            yield self._emit()
+
+
+def _fastq_batches_chunked(path: str, max_reads: int, max_len: int,
+                           halo: int) -> Iterator[CodeBatch]:
+    """Chunked FASTQ parse: bounded memory, record-boundary carry.
+
+    Reads _chunk_bytes() at a time (gzip-transparent; decompression happens
+    here, inside the prefetch thread when driven by workloads). Records are
+    4-line groups, so the carry is everything past the last complete group.
+    Each chunk independently picks its parser: the native C++ fast path when
+    available and no read exceeds max_len, the vectorized numpy gather
+    otherwise, and per-record halo-chunking for chunks with overlong reads --
+    so a handful of long reads mid-file degrade only their own chunk.
+    """
+    from zotpu.io import native
+
+    lib_ok = native.get_lib() is not None
+    em = _BatchEmitter(max_reads, max_len)
+    rec0 = 0
+    with open_file(path, "rb") as f:
+        carry = b""
+        while True:
+            data = f.read(_chunk_bytes())
+            final = not data
+            buf_b = carry + data
+            carry = b""
+            if final and buf_b and not buf_b.endswith(b"\n"):
+                buf_b += b"\n"
+            if not buf_b:
+                break
+            buf = np.frombuffer(buf_b, np.uint8)
+            nl = np.where(buf == 0x0A)[0]
+            n_rec = len(nl) // 4
+            if n_rec == 0:
+                if final:
+                    break  # trailing partial record: tolerate like readers do
+                carry = buf_b
+                continue
+            end = int(nl[4 * n_rec - 1]) + 1
+            line_starts = np.concatenate(([0], nl[:4 * n_rec - 1] + 1))
+            line_ends = nl[:4 * n_rec].copy()
+            has_cr = (line_ends > line_starts) & (buf[np.maximum(
+                line_ends - 1, 0)] == 0x0D)
+            line_ends -= has_cr
+            s = line_starts[1::4].astype(np.int64)
+            e = line_ends[1::4].astype(np.int64)
+            lens = e - s
+            if len(lens) and int(lens.max()) > max_len:
+                # overlong reads: per-record halo-chunk (rare slow path)
+                for i in range(n_rec):
+                    rec = S.ENCODE_LUT[buf[s[i]:e[i]]]
+                    yield from _emit_record_rows(em, rec, rec0 + i, max_len,
+                                                 halo)
+            elif lib_ok:
+                off = 0
+                done = 0
+                while done < n_rec:
+                    codes, lengths, n, consumed, _mx = (
+                        native.parse_fastq_buffer(buf_b[:end], max_reads,
+                                                  max_len, offset=off))
+                    if n == 0:
+                        raise RuntimeError(
+                            f"{path}: native parser stalled at offset {off}")
+                    if em.r == 0 and n == max_reads:
+                        # common case: full batch straight through, zero copy
+                        ids = np.arange(rec0 + done, rec0 + done + n,
+                                        dtype=np.int64)
+                        ids = np.pad(ids, (0, max_reads - n),
+                                     constant_values=-1)
+                        yield CodeBatch(codes=codes, lengths=lengths,
+                                        n_reads=n, record_ids=ids)
+                    else:
+                        ids = np.arange(rec0 + done, rec0 + done + n,
+                                        dtype=np.int64)
+                        yield from em.add_block(codes[:n], lengths[:n], ids,
+                                                lengths[:n])
+                    done += n
+                    off += consumed
+            else:
+                idx = s[:, None] + np.arange(max_len)[None, :]
+                idx = np.minimum(idx, len(buf) - 1)
+                rows = np.where(np.arange(max_len)[None, :] < lens[:, None],
+                                S.ENCODE_LUT[buf[idx]], S.INVALID_CODE)
+                ids = rec0 + np.arange(n_rec, dtype=np.int64)
+                yield from em.add_block(rows, lens.astype(np.int32), ids,
+                                        lens)
+            rec0 += n_rec
+            if final:
+                break
+            carry = buf_b[end:]
+    yield from em.flush()
+
+
+def _emit_record_rows(em, rec, rec_id, max_len, halo):
+    """One (possibly overlong) record -> halo-chunked rows through the
+    emitter, with per-row new-base attribution (each input base once)."""
+    n = len(rec)
+    if n <= max_len:
+        yield from em.add_row(rec, rec_id, n)
+        return
+    step = max_len - halo
+    total = n
+    i = 0
+    for off in range(0, max(n - halo, 1), step):
+        row = rec[off:off + max_len]
+        take = min(max_len if i == 0 else step, total)
+        yield from em.add_row(row, rec_id, take)
+        total -= take
+        i += 1
+
+
+def _fasta_batches_chunked(path: str, max_reads: int, max_len: int,
+                           halo: int) -> Iterator[CodeBatch]:
+    """Chunked FASTA parse: bounded memory even for genome-sized records.
+
+    Sequence bases accumulate per record and full halo rows are emitted as
+    soon as max_len bases are available, so a chromosome never materializes
+    whole; only a < max_len tail plus one chunk is ever resident.
+    """
+    em = _BatchEmitter(max_reads, max_len)
+    step = max_len - halo
+    rec_id = -1
+    cur = np.empty(0, np.uint8)
+    rows_emitted = 0
+
+    def feed(codes):
+        nonlocal cur, rows_emitted
+        cur = np.concatenate([cur, codes]) if len(cur) else codes
+        while len(cur) >= max_len:
+            attr = max_len if rows_emitted == 0 else step
+            yield from em.add_row(cur[:max_len], rec_id, attr)
+            rows_emitted += 1
+            cur = cur[step:]
+
+    def end_record():
+        nonlocal cur, rows_emitted
+        if rec_id >= 0 and (len(cur) or rows_emitted):
+            n = len(cur)
+            while rows_emitted == 0 or n > halo:
+                attr = n if rows_emitted == 0 else n - halo
+                yield from em.add_row(cur[:max_len], rec_id, attr)
+                rows_emitted += 1
+                cur = cur[step:]
+                n = len(cur)
+                if n == 0:
+                    break
+        cur = np.empty(0, np.uint8)
+        rows_emitted = 0
+
+    with open_file(path, "rb") as f:
+        carry = b""
+        while True:
+            data = f.read(_chunk_bytes())
+            final = not data
+            buf_b = carry + data
+            carry = b""
+            if final and buf_b and not buf_b.endswith(b"\n"):
+                buf_b += b"\n"
+            if not buf_b:
+                break
+            cut = buf_b.rfind(b"\n") + 1
+            if cut == 0:
+                carry = buf_b
+                continue
+            carry = buf_b[cut:]
+            buf = np.frombuffer(buf_b[:cut], np.uint8)
+            nl = np.where(buf == 0x0A)[0]
+            starts = np.concatenate(([0], nl[:-1] + 1))
+            headers = starts[buf[starts] == ord(">")]
+            # regions between headers hold pure sequence bytes (+newlines)
+            bounds = np.concatenate(([0], headers, [len(buf)]))
+            for bi in range(len(bounds) - 1):
+                a, b = int(bounds[bi]), int(bounds[bi + 1])
+                if a == b:
+                    continue
+                if buf[a] == ord(">"):  # header line starts this region
+                    yield from end_record()
+                    rec_id += 1
+                    a = int(nl[np.searchsorted(nl, a)]) + 1  # skip header line
+                seg = buf[a:b]
+                seg = seg[(seg != 0x0A) & (seg != 0x0D)]
+                if len(seg) and rec_id >= 0:
+                    yield from feed(S.ENCODE_LUT[seg])
+            if final:
+                break
+        yield from end_record()
+    yield from em.flush()
+
+
 def parse_batches(path: str, max_reads: int, max_len: int,
                   fmt: str | None = None, halo: int = 0) -> Iterator[CodeBatch]:
-    """Stream a FASTA/FASTQ file as fixed-shape CodeBatch-es.
+    """Stream a FASTA/FASTQ file as fixed-shape CodeBatch-es, BOUNDED memory.
 
     Sequences longer than ``max_len`` are split into ``max_len`` rows that
-    overlap by ``halo`` bases (workloads pass halo=k-1) so no boundary k-mer is
-    lost and no k-mer start position is duplicated.
+    overlap by ``halo`` bases (workloads pass halo=k-1) so no boundary k-mer
+    is lost and no k-mer start position is duplicated. Files are read in
+    _chunk_bytes() pieces with record-boundary carry (gzip-transparent), so a
+    run larger than host RAM streams with flat RSS; decompression and encode
+    happen here -- inside the prefetch thread when driven by workloads.
     """
     if fmt is None:
         fmt = sniff_format(path)
     if fmt == "fastq":
-        from zotpu.io import native
-        gen = native.parse_batches_native(path, max_reads, max_len)
-        if gen is not None:
-            # native path: one row per record (it refuses overlong reads)
-            rec0 = 0
-            for b in gen:
-                ids = np.full(len(b.lengths), -1, np.int64)
-                ids[:b.n_reads] = np.arange(rec0, rec0 + b.n_reads)
-                rec0 += b.n_reads
-                b.record_ids = ids
-                yield b
-            return
-    with open_file(path, "rb") as f:
-        data = f.read()
-    buf = np.frombuffer(data, dtype=np.uint8)
-    starts, ends = _seq_line_spans(buf, fmt)
-    if fmt == "fasta":
-        yield from _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo)
+        yield from _fastq_batches_chunked(path, max_reads, max_len, halo)
         return
-    lengths_all = (ends - starts).astype(np.int64)
-    if len(lengths_all) and int(lengths_all.max()) > max_len:
-        # Rare overlong-read fallback: halo-chunk every read (slow path).
-        rows = []
-        new_bases = []
-        rowids = []
-        for rec_no, (s, e) in enumerate(zip(starts, ends)):
-            rec = S.ENCODE_LUT[buf[s:e]]
-            if len(rec) <= max_len:
-                rows.append(np.pad(rec, (0, max_len - len(rec)),
-                                   constant_values=S.INVALID_CODE))
-                new_bases.append(len(rec))
-                rowids.append(rec_no)
-            else:
-                chunked = chunk_with_halo(rec, halo + 1, max_len)
-                rows.extend(chunked)
-                rowids.extend([rec_no] * len(chunked))
-                total = len(rec)
-                for i in range(len(chunked)):
-                    take = min(max_len if i == 0 else max_len - halo, total)
-                    new_bases.append(take)
-                    total -= take
-        yield from _rows_to_batches(rows, max_reads, max_len, new_bases, rowids)
-        return
-    for lo in range(0, len(starts), max_reads):
-        st = starts[lo:lo + max_reads]
-        ln = np.minimum(lengths_all[lo:lo + max_reads], max_len)
-        r = len(st)
-        codes = np.full((max_reads, max_len), S.INVALID_CODE, dtype=np.uint8)
-        idx = st[:, None] + np.arange(max_len)[None, :]
-        idx = np.minimum(idx, len(buf) - 1)
-        gathered = S.ENCODE_LUT[buf[idx]]
-        mask = np.arange(max_len)[None, :] < ln[:, None]
-        codes[:r] = np.where(mask, gathered, S.INVALID_CODE)
-        ids = np.full(max_reads, -1, np.int64)
-        ids[:r] = np.arange(lo, lo + r)
-        yield CodeBatch(codes=codes, lengths=np.pad(ln.astype(np.int32), (0, max_reads - r)),
-                        n_reads=r, record_ids=ids)
-
-
-def _fasta_record_batches(buf, starts, ends, max_reads, max_len, halo=0):
-    """FASTA: concatenate each record's lines, then halo-chunk to (R, L) rows."""
-    # Reconstruct per-record sequences (records can be multi-line/genome-sized).
-    text_rows = []
-    cur = []
-    nl = np.where(buf == 0x0A)[0]
-    if len(nl) == 0 or nl[-1] != len(buf) - 1:
-        nl = np.append(nl, len(buf))
-    line_starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
-    line_ends = nl.astype(np.int64)
-    for s, e in zip(line_starts, line_ends):
-        if e > s and buf[e - 1] == 0x0D:
-            e -= 1
-        if s >= e:
-            continue
-        if buf[s] == ord(">"):
-            if cur:
-                text_rows.append(np.concatenate(cur))
-                cur = []
-        else:
-            cur.append(buf[s:e])
-    if cur:
-        text_rows.append(np.concatenate(cur))
-    rows = []
-    new_bases = []
-    rowids = []
-    for rec_no, rec in enumerate(text_rows):
-        codes = S.ENCODE_LUT[rec]
-        if len(codes) <= max_len:
-            rows.append(np.pad(codes, (0, max_len - len(codes)),
-                               constant_values=S.INVALID_CODE))
-            new_bases.append(len(codes))
-            rowids.append(rec_no)
-        else:
-            chunked = chunk_with_halo(codes, halo + 1, max_len)
-            rows.extend(chunked)
-            rowids.extend([rec_no] * len(chunked))
-            # halo bases are re-sent with each chunk; count each input base once
-            total = len(codes)
-            for i in range(len(chunked)):
-                if i == 0:
-                    take = min(max_len, total)
-                else:
-                    take = min(max_len - halo, total)
-                new_bases.append(take)
-                total -= take
-    yield from _rows_to_batches(rows, max_reads, max_len, new_bases, rowids)
+    yield from _fasta_batches_chunked(path, max_reads, max_len, halo)
 
 
 def _rows_to_batches(rows, max_reads, max_len, new_bases=None, rowids=None):
