@@ -282,6 +282,57 @@ def _write_hit_reads(out_fh, path, per_read, min_hits):
                 out_fh.write(f"@{rid}\n{seq}\n+\n{qual}\n")
 
 
+def cmd_probes(args):
+    """Variant descriptions -> discriminating k-mer probe panel (ZKF).
+
+    Reference analog: zotmer's HGVS probe generation (SURVEY.md section 2a
+    clinical family); per-variant ref/alt probe lists ride in the container
+    metadata for host-side attribution by `evidence`."""
+    from zotpu import variants as V
+    keys, meta = V.build_panel(args.variants, args.reference, args.k)
+    container.write(args.output, container.KmerSet(
+        k=args.k, keys=keys, counts=None,
+        meta={"tool": "zotpu probes", **meta}))
+    print(json.dumps({"command": "probes", "variants": len(args.variants),
+                      "probes": len(keys)}))
+    return 0
+
+
+def cmd_evidence(args):
+    """Screen read sets for variant evidence against a probe panel."""
+    from zotpu import variants as V
+    from zotpu.workloads import kmerize as W
+    hdr = container.read(args.panel)
+    meta = hdr.meta
+    if "variants" not in meta:
+        raise ValueError(f"{args.panel}: not a probes panel (run "
+                         f"`zotpu probes` first)")
+    k = hdr.k
+    for sample in args.samples:
+        if args.host:
+            seqs = _read_all_seqs([sample])
+            keys, counts = G.kmerize(k, seqs)
+        else:
+            keys, counts = W.kmerize_paths(
+                [sample], k, batch_reads=args.batch_reads,
+                max_len=args.max_len)
+        for row in V.evidence_from_counts(meta, keys, counts):
+            print(json.dumps({"command": "evidence", "sample": sample,
+                              **row}))
+    return 0
+
+
+def cmd_spikein(args):
+    """Simulate reads from a reference with variants at a given VAF."""
+    from zotpu import variants as V
+    stats = V.spike_reads(args.reference, args.variants, args.output,
+                          coverage=args.coverage, vaf=args.vaf,
+                          read_len=args.read_len,
+                          error_rate=args.error_rate, seed=args.seed)
+    print(json.dumps({"command": "spikein", "output": args.output, **stats}))
+    return 0
+
+
 def cmd_sample(args):
     ks, counts = _load_padded(args.input)
     keys, cnts = G.sample(ks.keys, counts, args.rate, seed=args.seed)
@@ -424,6 +475,35 @@ def build_parser() -> argparse.ArgumentParser:
                          "(power of two; all-to-all k-mer routing)")
     common(sp, batch=True)
     sp.set_defaults(fn=cmd_scan)
+
+    sp = sub.add_parser("probes", help="variant descriptions -> k-mer probe panel")
+    sp.add_argument("-k", type=int, required=True, dest="k")
+    sp.add_argument("reference", help="reference FASTA")
+    sp.add_argument("output")
+    sp.add_argument("variants", nargs="+",
+                    help="HGVS-style specs, e.g. chr1:g.123A>G, "
+                         "chr1:g.10_12del, chr1:g.10_11insTT, "
+                         "chr1:g.10_12dup, chr1:g.10_12delinsGG")
+    sp.set_defaults(fn=cmd_probes)
+
+    sp = sub.add_parser("evidence",
+                        help="variant evidence in read sets vs a probe panel")
+    sp.add_argument("panel", help="output of `zotpu probes`")
+    sp.add_argument("samples", nargs="+")
+    common(sp, batch=True)
+    sp.set_defaults(fn=cmd_evidence)
+
+    sp = sub.add_parser("spikein",
+                        help="simulate reads with variants at a given VAF")
+    sp.add_argument("reference")
+    sp.add_argument("output", help="FASTQ (.gz ok) to write")
+    sp.add_argument("variants", nargs="+")
+    sp.add_argument("--vaf", type=float, default=0.5)
+    sp.add_argument("--coverage", type=float, default=30.0)
+    sp.add_argument("--read-len", type=int, default=100)
+    sp.add_argument("--error-rate", type=float, default=0.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_spikein)
 
     sp = sub.add_parser("sample", help="hash-threshold downsample")
     sp.add_argument("--rate", type=float, required=True)
