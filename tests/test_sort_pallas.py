@@ -22,77 +22,6 @@ def _rand(n, seed, hi_bits=18):
     return hi, lo, pay
 
 
-@pytest.mark.parametrize("n,block", [(256, 256), (1024, 1024), (4096, 4096)])
-def test_block_sort_single_block(n, block):
-    hi, lo, pay = _rand(n, n)
-    shi, slo, spay = SP.sort_blocks_pallas(hi, lo, pay, block=block,
-                                           interpret=True)
-    whi, wlo, _ = _np_sort_pairs(hi, lo, pay)
-    assert np.array_equal(np.asarray(shi), whi)
-    assert np.array_equal(np.asarray(slo), wlo)
-
-
-def test_block_sort_payload_follows_keys():
-    n = 1024
-    hi = np.zeros(n, np.uint32)
-    lo = np.arange(n, dtype=np.uint32)[::-1].copy()
-    pay = np.arange(n, dtype=np.uint32)[::-1].copy()
-    _, slo, spay = SP.sort_blocks_pallas(hi, lo, pay, block=n, interpret=True)
-    assert np.array_equal(np.asarray(slo), np.arange(n, dtype=np.uint32))
-    assert np.array_equal(np.asarray(spay), np.arange(n, dtype=np.uint32))
-
-
-def test_block_sort_multiple_blocks():
-    n, block = 2048, 512
-    hi, lo, pay = _rand(n, 3)
-    shi, slo, _ = SP.sort_blocks_pallas(hi, lo, pay, block=block,
-                                        interpret=True)
-    shi, slo = np.asarray(shi), np.asarray(slo)
-    for b in range(n // block):
-        whi, wlo = _np_sort_pairs(hi[b * block:(b + 1) * block],
-                                  lo[b * block:(b + 1) * block])
-        assert np.array_equal(shi[b * block:(b + 1) * block], whi)
-        assert np.array_equal(slo[b * block:(b + 1) * block], wlo)
-
-
-def test_merge_pass():
-    n, run = 2048, 512
-    hi, lo, pay = _rand(n, 7)
-    # pre-sort runs
-    for b in range(n // run):
-        sl = slice(b * run, (b + 1) * run)
-        hi[sl], lo[sl], pay[sl] = _np_sort_pairs(hi[sl], lo[sl], pay[sl])
-    mhi, mlo, _ = SP.merge_pass_pallas(hi, lo, pay, run=run, interpret=True)
-    mhi, mlo = np.asarray(mhi), np.asarray(mlo)
-    for b in range(n // (2 * run)):
-        sl = slice(b * 2 * run, (b + 1) * 2 * run)
-        whi, wlo = _np_sort_pairs(hi[sl], lo[sl])
-        assert np.array_equal(mhi[sl], whi)
-        assert np.array_equal(mlo[sl], wlo)
-
-
-@pytest.mark.parametrize("n,block", [(4096, 512), (8192, 1024)])
-def test_full_sort_pallas(n, block):
-    hi, lo, pay = _rand(n, n + 1)
-    shi, slo, spay = SP.sort_pallas(hi, lo, pay, block=block,
-                                    max_vmem_run=n, interpret=True)
-    whi, wlo, _ = _np_sort_pairs(hi, lo, pay)
-    assert np.array_equal(np.asarray(shi), whi)
-    assert np.array_equal(np.asarray(slo), wlo)
-
-
-def test_full_sort_with_sentinels():
-    n, block = 2048, 512
-    hi, lo, pay = _rand(n, 9)
-    hi[100:300] = 0xFFFFFFFF
-    lo[100:300] = 0xFFFFFFFF
-    shi, slo = SP.sort_pallas(hi, lo, block=block, max_vmem_run=n,
-                              interpret=True)
-    whi, wlo = _np_sort_pairs(hi, lo)
-    assert np.array_equal(np.asarray(shi), whi)
-    assert np.array_equal(np.asarray(slo), wlo)
-
-
 def test_stream_merge_pass_small(monkeypatch):
     """Streaming merge-path pass on shrunken tiles (monkeypatched constants)."""
     monkeypatch.setattr(SP, "TILE_E", 1024)
@@ -138,31 +67,26 @@ def test_stream_merge_with_duplicates_and_payload(monkeypatch):
     assert got == want
 
 
-def test_full_sort_pallas_streaming(monkeypatch):
-    """End-to-end sort_pallas exercising all three phases + pow2 padding."""
-    monkeypatch.setattr(SP, "TILE_E", 1024)
-    monkeypatch.setattr(SP, "TILE_R", 8)
-    monkeypatch.setattr(SP, "LOAD_R", 16)
-    n = 7000  # not a power of two
-    hi, lo, pay = _rand(n, 31)
-    shi, slo, spay = SP.sort_pallas(
-        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
-        block=512, max_vmem_run=1024, interpret=True)
-    whi, wlo, _ = _np_sort_pairs(hi, lo, pay)
-    assert np.array_equal(np.asarray(shi), whi)
-    assert np.array_equal(np.asarray(slo), wlo)
-    assert shi.shape[0] == n
-
-
-def test_full_sort_no_payload_streaming(monkeypatch):
-    """2-channel (no payload) path through all three phases."""
-    monkeypatch.setattr(SP, "TILE_E", 1024)
-    monkeypatch.setattr(SP, "TILE_R", 8)
-    monkeypatch.setattr(SP, "LOAD_R", 16)
-    n = 9000
-    hi, lo, _ = _rand(n, 55)
-    shi, slo = SP.sort_pallas(jnp.asarray(hi), jnp.asarray(lo),
-                              block=512, max_vmem_run=1024, interpret=True)
-    whi, wlo = _np_sort_pairs(hi, lo)
-    assert np.array_equal(np.asarray(shi), whi)
-    assert np.array_equal(np.asarray(slo), wlo)
+def test_stream_merge_pair_unequal(monkeypatch):
+    """One pair of unequal sorted runs (the join/set-op shape), incl. a
+    sentinel-padded short side."""
+    NA, NB = SP.TILE_E, 2 * SP.TILE_E
+    rng = np.random.default_rng(11)
+    A = np.sort(rng.integers(0, 1 << 40, NA // 4).astype(np.uint64))
+    A = np.concatenate([A, np.full(NA - len(A), 0xFFFFFFFFFFFFFFFF,
+                                   np.uint64)])
+    B = np.sort(rng.integers(0, 1 << 40, NB).astype(np.uint64))
+    hi = np.concatenate([(A >> np.uint64(32)).astype(np.uint32),
+                         (B >> np.uint64(32)).astype(np.uint32)])
+    lo = np.concatenate([(A & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                         (B & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+    pay = np.arange(NA + NB, dtype=np.uint32)
+    ohi, olo, opay = SP.stream_merge_pair_pallas(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay), nA=NA,
+        interpret=True)
+    got = (np.asarray(ohi).astype(np.uint64) << np.uint64(32)) | np.asarray(olo)
+    want = np.sort(np.concatenate([A, B]))
+    assert np.array_equal(got, want)
+    # payload permuted consistently with the key order (multiset check)
+    key_of_pay = ((hi.astype(np.uint64) << np.uint64(32)) | lo)[np.asarray(opay)]
+    assert np.array_equal(key_of_pay, got)

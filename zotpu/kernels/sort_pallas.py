@@ -1,15 +1,21 @@
-"""Pallas TPU sort engine: in-VMEM bitonic block sort + merge passes.
+"""Pallas TPU streaming merge engine for sorted runs.
 
-STATUS: built and correct on TPU, but NOT wired to any production path -- it
-lost its A/B to ``jax.lax.sort`` (see docs/PERF_NOTES.md); kept as groundwork
-for the radix-partition design. XLA's TPU sort streams ~log2(n/B)
-pairwise merge passes over HBM on top of block sorts; this engine does the
-same algorithm but fused: blocks sort entirely in VMEM (bitonic network built
-from lane/sublane XOR-shuffles = two rolls + select per stage), and merge
-passes bitonic-merge two sorted tiles per grid step.
+PRODUCTION paths: stream_merge_pass_pallas (equal-length run pairs) and
+stream_merge_pair_pallas (one pair of unequal static lengths) power the
+merge-path set ops (kernels/setops_merge.py) and the scan membership join
+(kernels/join.py) -- replacing full re-sorts with one O(log TILE) bitonic
+merge pass per element.
 
-Keys are (hi, lo) u32 pairs compared lexicographically; an optional third
-u32 payload channel rides along (used for counts / sample ids).
+HISTORY (round 1 -> 2): this module originally also carried a full bitonic
+sort engine (block sort + in-VMEM merge passes). It was correct but LOST its
+A/B against ``jax.lax.sort`` (168-224 ms vs 144 ms at 32M; docs/PERF_NOTES.md)
+-- any VPU comparison sort lands at ~0.2 Gkeys/s -- so per VERDICT round 1
+item 8 the losing entry points were deleted and exactly one full-sort
+implementation (lax.sort) remains on the hot path; the merge-pass machinery
+below is the part that won.
+
+Keys are (hi, lo) u32 pairs compared lexicographically; payload channels
+(counts, tags) ride the network unselected-on.
 
 Element layout inside a block: row-major over a (R, 128) u32 tile, index
 i = r * 128 + c. XOR-partner shuffles at stride s:
@@ -84,20 +90,6 @@ def _compare_exchange(chans, s, ascending_mask):
                  for pc, c in zip(partners, chans))
 
 
-def _bitonic_sort_block(chans, n):
-    """Full bitonic sort of n = R*128 elements living in (R, 128) arrays."""
-    kk = 2
-    shape = chans[0].shape
-    while kk <= n:
-        asc = ~_index_bit(shape, kk) if kk < n else jnp.ones(shape, bool)
-        s = kk // 2
-        while s >= 1:
-            chans = _compare_exchange(chans, s, asc)
-            s //= 2
-        kk *= 2
-    return chans
-
-
 def _bitonic_merge_block(chans, n):
     """Merge step only: input is two sorted halves, second half DESCENDING
     overall bitonic; cleans into fully ascending order."""
@@ -107,91 +99,6 @@ def _bitonic_merge_block(chans, n):
         chans = _compare_exchange(chans, s, asc)
         s //= 2
     return chans
-
-
-def _sort_block_kernel(*refs, n, nch):
-    chans = _bitonic_sort_block(tuple(r[:] for r in refs[:nch]), n)
-    for o, c in zip(refs[nch:], chans):
-        o[:] = c
-
-
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def sort_blocks_pallas(hi, lo, pay=None, block: int = 1 << 15,
-                       interpret: bool = False):
-    """Sort each consecutive ``block`` elements (flat u32 arrays).
-
-    Returns blockwise-sorted (hi, lo[, pay]). n must be a multiple of block;
-    callers pad with sentinel keys. pay=None runs a 2-channel network (~1/3
-    fewer shuffle/select ops).
-    """
-    n = hi.shape[0]
-    assert n % block == 0 and block % LANES == 0, (n, block)
-    rows = block // LANES
-    nb = n // block
-    chans = (hi, lo) if pay is None else (hi, lo, pay)
-    nch = len(chans)
-    shape2 = (n // LANES, LANES)
-    args = [x.reshape(shape2) for x in chans]
-    spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_sort_block_kernel, n=block, nch=nch),
-        grid=(nb,),
-        in_specs=[spec] * nch,
-        out_specs=[spec] * nch,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * nch,
-        interpret=interpret,
-    )(*args)
-    out = tuple(x.reshape(-1) for x in out)
-    return out if pay is not None else (out[0], out[1], None)
-
-
-def _merge_pass_kernel(*refs, n, nch):
-    """Merge two sorted length-n/2 runs laid out contiguously in one block.
-
-    The second run is reversed on load to form a bitonic sequence, then the
-    standard merge network cleans it. Reversal of the second half uses the
-    row-major layout: element j of half 2 sits at flat index n/2 + j.
-    """
-    chans = tuple(r[:] for r in refs[:nch])
-    R = chans[0].shape[0]
-
-    # reverse the second half of the block (roll-based flip; no `rev` in Mosaic)
-    def rev_half(v):
-        top = v[: R // 2]
-        bot = _flip_all(v[R // 2:])
-        return jnp.concatenate([top, bot], axis=0)
-
-    chans = tuple(rev_half(c) for c in chans)
-    chans = _bitonic_merge_block(chans, n)
-    for o, c in zip(refs[nch:], chans):
-        o[:] = c
-
-
-@functools.partial(jax.jit, static_argnames=("run", "interpret"))
-def merge_pass_pallas(hi, lo, pay, run: int, interpret: bool = False):
-    """One merge pass: pairs of adjacent sorted runs (length ``run``) -> sorted
-    runs of length 2*run. Both runs of a pair must fit in VMEM. pay may be
-    None (2-channel network)."""
-    n = hi.shape[0]
-    assert n % (2 * run) == 0
-    rows = 2 * run // LANES
-    nb = n // (2 * run)
-    chans = (hi, lo) if pay is None else (hi, lo, pay)
-    nch = len(chans)
-    shape2 = (n // LANES, LANES)
-    spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_merge_pass_kernel, n=2 * run, nch=nch),
-        grid=(nb,),
-        in_specs=[spec] * nch,
-        out_specs=[spec] * nch,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.uint32)] * nch,
-        interpret=interpret,
-    )(*[x.reshape(shape2) for x in chans])
-    out = tuple(x.reshape(-1) for x in out)
-    return out if pay is not None else (out[0], out[1], None)
 
 
 # ---------------------------------------------------------------------------
@@ -485,39 +392,3 @@ def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 0).bit_length()
 
 
-def sort_pallas(hi, lo, pay=None, block: int = 1 << 15,
-                max_vmem_run: int = 1 << 18, interpret: bool = False):
-    """Full sort of flat (hi, lo[, pay]) u32 arrays, ascending lexicographic.
-
-    Phase 1 block-sorts in VMEM; phase 2 merges pairwise in VMEM while run
-    pairs fit; phase 3 streams merge-path passes for arbitrarily large runs.
-    Input is padded to a power of two with sentinel keys and sliced back.
-    pay=None runs 2-channel networks throughout (~1/3 fewer ops).
-    """
-    n0 = hi.shape[0]
-    had_pay = pay is not None
-    if n0 < 2 * LANES:   # tiny: not worth a kernel
-        ops = (hi, lo) if pay is None else (hi, lo, pay)
-        return jax.lax.sort(ops, num_keys=2)
-    n = max(_next_pow2(n0), LANES * 2)
-    if n > n0:
-        padk = jnp.full(n - n0, 0xFFFFFFFF, jnp.uint32)
-        hi = jnp.concatenate([hi, padk])
-        lo = jnp.concatenate([lo, padk])
-        if pay is not None:
-            pay = jnp.concatenate([pay, jnp.zeros(n - n0, jnp.uint32)])
-    block = min(block, n)
-    hi, lo, pay = sort_blocks_pallas(hi, lo, pay, block=block,
-                                     interpret=interpret)
-    run = block
-    while run < n and 2 * run <= max_vmem_run:
-        hi, lo, pay = merge_pass_pallas(hi, lo, pay, run=run,
-                                        interpret=interpret)
-        run *= 2
-    while run < n:
-        hi, lo, pay = stream_merge_pass_pallas(
-            hi, lo, pay, jnp.int32(run), interpret=interpret)
-        run *= 2
-    if had_pay:
-        return hi[:n0], lo[:n0], pay[:n0]
-    return hi[:n0], lo[:n0]
