@@ -1,9 +1,14 @@
 """Two-word vectorized binary search over sorted (hi, lo) key arrays.
 
-Reference analog: zotmer's sparse rank/binary-search membership queries used by
-scan/pulldown (SURVEY.md section 3.5). TPU-native shape: branchless bisection,
-one gather per step, all queries in parallel on the VPU; sentinel padding means
-the static capacity array IS the search domain (sentinel >= every valid key).
+Reference analog: zotmer's sparse rank/binary-search membership queries
+(SURVEY.md section 3.5) -- the device half of the rank/select sparse-set
+capability (zotpu/sparse.py is the host half).
+
+STATUS: correct and tested, but NOT on the scan hot path since round 2 --
+each bisection step is an XLA gather (~0.03 Gelem/s on TPU), which measured
+~2 Mkmer/s end to end; production membership is the gather-free sort-merge
+join (kernels/join.py). Use this for SMALL query sets where a sort would
+dominate, or on CPU.
 """
 
 from __future__ import annotations
