@@ -54,9 +54,27 @@ def test_spectrum_mixture_fit():
         h[f] = 1000 * math.exp(-0.5 * ((f - 20) / 4) ** 2)
     cut, lam_g, gsize = stats.spectrum_mixture_fit(h)
     assert 2 < cut < 10
-    assert lam_g == 20
+    assert abs(lam_g - 20) < 0.5
     total_genomic = sum(h[f] * f for f in range(cut, 64))
-    assert abs(gsize - total_genomic / 20) < 2
+    assert abs(gsize - total_genomic / lam_g) < 2
+
+
+def test_spectrum_em_recovers_poisson_truth():
+    # exact zero-truncated Poisson mixture -> EM must recover the
+    # generating parameters (and KS ~ 0)
+    lam_e, lam_g = 0.8, 25.0
+    f = np.arange(1, 128, dtype=np.float64)
+    h = np.zeros(128)
+    h[1:] = (3e5 * stats.poisson_pdf(lam_e, f) / -np.expm1(-lam_e)
+             + 5e4 * stats.poisson_pdf(lam_g, f)
+             + 5e3 * stats.poisson_pdf(2 * lam_g, f))
+    d = stats.spectrum_mixture_fit_detail(h, max_cov=128)
+    assert abs(d["lam_e"] - lam_e) < 0.01
+    assert abs(d["lam_g"] - lam_g) < 0.05
+    assert abs(d["weights"][0] - 0.845) < 0.01    # 3e5 of 3.55e5
+    assert d["ks"] < 1e-3
+    # genomic instances = 5e4*25 + 5e3*50; / per-copy rate 25
+    assert abs(d["genome_size_estimate"] - 60000) < 600
 
 
 def test_sparse_rank_select_access():

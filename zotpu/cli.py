@@ -203,10 +203,16 @@ def cmd_hist(args):
             print(f"{freq}\t{int(h[freq])}")
     if args.cutoff:
         from zotpu import stats as ST
-        cut, lam_g, gsize = ST.spectrum_mixture_fit(np.asarray(h, np.float64))
-        print(json.dumps({"command": "hist", "cutoff": int(cut),
-                          "coverage_peak": float(lam_g),
-                          "genome_size_estimate": int(gsize)}))
+        d = ST.spectrum_mixture_fit_detail(np.asarray(h, np.float64))
+        print(json.dumps({"command": "hist", "cutoff": int(d["cutoff"]),
+                          "coverage_peak": float(d["lam_g"]),
+                          "genome_size_estimate":
+                              int(d["genome_size_estimate"]),
+                          "error_rate_lambda": round(d["lam_e"], 4),
+                          "em_cutoff": int(d["em_cutoff"]),
+                          "mixture_weights":
+                              [round(x, 4) for x in d["weights"]],
+                          "fit_ks": round(d["ks"], 4)}))
     return 0
 
 
