@@ -1,0 +1,495 @@
+"""Fused streaming set-op kernel: merge + combine + compact in ONE Pallas pass.
+
+Reference analog: zotmer's two-pointer sorted set-op sweeps (SURVEY.md
+sections 3.2-3.3), which produce the combined, dense result in one pass.
+Round-2's merge-path front-end (kernels/setops_merge.py) replaced the full
+re-sort with a streaming Pallas merge, but still paid an XLA combine +
+stable-flag-sort compaction tail; measured on TPU v5e the three parts cost
+~33 + ~0 + ~14 ms at 2x2M keys. This kernel fuses all three:
+
+  per output tile (sequential TPU grid):
+    1. DMA the exact merge-path input windows (A ascending; B loaded from a
+       globally PRE-REVERSED copy, so the bitonic "descending half" needs no
+       in-kernel 15-stage flip), double-buffered across tiles;
+    2. lane-level alignment rotations only (A's live run left-aligned, B's
+       right-aligned; row alignment is absorbed into the window row offset);
+    3. one bitonic-merge network over 2T candidates -- THREE channels
+       (hi, lo, count): one count channel serves every op because a
+       2-member key segment always has one member per side (inputs are
+       per-side unique), so side membership follows from segment size;
+    4. combine neighbours in-register (segment size <= 2) with a carried
+       "deferred last element" resolving segments that straddle tiles;
+    5. compact kept elements in-register via BUTTERFLY PACKING: the
+       exclusive cumsum of drops gives each kept element its left-shift
+       distance; LSB-first power-of-two pull stages route every element to
+       its packed slot conflict-free (monotone concentrator routing) --
+       ~30 cheap stages instead of a 120-stage bitonic flag sort;
+    6. append to the output at a running element cursor (SMEM) with
+       garbage-overwrite window DMA: only whole 128-lane rows advance the
+       cursor; the partial tail row is carried in VMEM and re-emitted by
+       the next tile. Rows never written keep their sentinel prefill
+       (input/output aliasing), so the result is dense with a sentinel
+       tail and NO XLA post-pass.
+
+Contract matches kernels/setops.set_op: DENSE sorted unique sentinel-padded
+inputs -> (hi, lo, counts, n_out) dense; counts saturate at u32 max
+(zotpu/semantics.py policy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zotpu.kernels.pack import SENT32
+from zotpu.kernels.sort_pallas import (LANES, TILE_E, TILE_R,
+                                       _bitonic_merge_block, _pair_partition)
+
+LOAD_R = TILE_R + 8          # input window rows (alignment slack, 8-aligned)
+OUT_R = TILE_R + 1           # output buffer rows (tile + carried partial row)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
+def _row_lane(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row, lane
+
+
+def _flat_pos(shape):
+    row, lane = _row_lane(shape)
+    return row * LANES + lane
+
+
+def _rot_left_const(v, r):
+    """w[i] = v[(i + r) mod N] over row-major flat order, 0 < r < 128."""
+    rows = v.shape[0]
+    vl = pltpu.roll(v, shift=LANES - r, axis=1)
+    vlu = pltpu.roll(pltpu.roll(v, shift=rows - 1, axis=0),
+                     shift=LANES - r, axis=1)
+    _, lane = _row_lane(v.shape)
+    return jnp.where(lane < LANES - r, vl, vlu)
+
+
+def _rot_right_const(v, r):
+    """w[i] = v[(i - r) mod N] over row-major flat order, 0 < r < 128."""
+    vr = pltpu.roll(v, shift=r, axis=1)
+    vrd = pltpu.roll(pltpu.roll(v, shift=1, axis=0), shift=r, axis=1)
+    _, lane = _row_lane(v.shape)
+    return jnp.where(lane >= r, vr, vrd)
+
+
+def _rot_left_dyn(chans, rot):
+    """Dynamic flat rotate-left by rot in [0, 128)."""
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        chans = tuple(
+            jnp.where((rot & bit) != 0, _rot_left_const(c, bit), c)
+            for c in chans)
+    return chans
+
+
+def _rot_right_dyn(chans, rot):
+    """Dynamic flat rotate-right by rot in [0, 256]: one conditional row
+    roll (the 128 bit) + lane-level const rotations."""
+    chans = tuple(
+        jnp.where((rot & 128) != 0, pltpu.roll(c, shift=1, axis=0), c)
+        for c in chans)
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        chans = tuple(
+            jnp.where((rot & bit) != 0, _rot_right_const(c, bit), c)
+            for c in chans)
+    return chans
+
+
+def _shift_right_flat(v, s, fill):
+    """w[i] = v[i - s] where i >= s, else fill; s a power of two."""
+    pos = _flat_pos(v.shape)
+    if s < LANES:
+        w = _rot_right_const(v, s)
+    else:
+        w = pltpu.roll(v, shift=s // LANES, axis=0)
+    return jnp.where(pos >= s, w, fill)
+
+
+def _shift_left_flat(v, s, fill):
+    """w[i] = v[i + s] where i + s < N, else fill; s a power of two."""
+    n = v.shape[0] * LANES
+    pos = _flat_pos(v.shape)
+    if s < LANES:
+        w = _rot_left_const(v, s)
+    else:
+        w = pltpu.roll(v, shift=v.shape[0] - s // LANES, axis=0)
+    return jnp.where(pos < n - s, w, fill)
+
+
+def _extract(mask, v):
+    """Scalar value of v at the single True position of mask (else 0).
+
+    Mosaic has no unsigned reductions: bitcast to i32, sum (exact -- at most
+    one non-zero term), bitcast back."""
+    masked = jnp.where(mask, v, jnp.zeros_like(v))
+    s = jnp.sum(jax.lax.bitcast_convert_type(masked, jnp.int32),
+                dtype=jnp.int32)
+    # same-width int conversion wraps modulo 2^32 == bit reinterpretation
+    # (tpu.bitcast is vector-only, so no scalar bitcast here)
+    return s.astype(jnp.uint32)
+
+
+def _sat_add(a, b):
+    s = a + b
+    return jnp.where(s < a, jnp.uint32(0xFFFFFFFF), s)
+
+
+def _combine_policy(op, first, same_next, valid, c, next_c):
+    """keep mask + combined count for each segment-FIRST element.
+
+    Inputs are per-side unique, so a segment has <= 2 members; a 2-member
+    segment has exactly one member per side. For "diff" the caller zeroes
+    the B-side count channel, so presence-in-A == (c > 0)."""
+    if op in ("merge", "union"):
+        keep = first & valid
+        cnt = _sat_add(c, jnp.where(same_next, next_c, jnp.uint32(0)))
+    elif op == "intersect":
+        keep = first & valid & same_next
+        cnt = _sat_add(c, jnp.where(same_next, next_c, jnp.uint32(0)))
+    elif op == "diff":
+        keep = first & valid & ~same_next & (c > jnp.uint32(0))
+        cnt = c
+    else:
+        raise ValueError(f"unknown set op {op!r}")
+    return keep, cnt
+
+
+def _deferred_policy(op, live, match0, d_c, c0):
+    """The combine policy in scalar form for the carried deferred element;
+    match0 means this tile's first element continues the deferred segment."""
+    if op in ("merge", "union"):
+        emit = live
+        cnt = _sat_add(d_c, jnp.where(match0, c0, jnp.uint32(0)))
+    elif op == "intersect":
+        emit = live & match0
+        cnt = _sat_add(d_c, jnp.where(match0, c0, jnp.uint32(0)))
+    elif op == "diff":
+        emit = live & ~match0 & (d_c > jnp.uint32(0))
+        cnt = d_c
+    else:
+        raise ValueError(f"unknown set op {op!r}")
+    return emit, cnt
+
+
+def _butterfly_pack(chans, keep):
+    """Stable in-register compaction: kept elements move to the front in
+    order; the tail becomes garbage (caller masks it). Monotone concentrator
+    routing: d[i] = dropped-before-i (exclusive cumsum) is kept element i's
+    total left shift; pulling in LSB-first power-of-two stages is
+    conflict-free for monotone distances (tests/test_merge_fused.py checks
+    this against brute force)."""
+    shape = chans[0].shape
+    n = shape[0] * LANES
+    drop = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    incl = drop
+    s = 1
+    while s < n:
+        incl = incl + _shift_right_flat(incl, s, jnp.uint32(0))
+        s *= 2
+    r = incl - drop              # exclusive cumsum = shift distance
+    s = 1
+    while s < n:
+        r_right = _shift_left_flat(r, s, jnp.uint32(0))
+        pull = (r_right & jnp.uint32(s)) != 0
+        chans = tuple(
+            jnp.where(pull, _shift_left_flat(c, s, jnp.uint32(0)), c)
+            for c in chans)
+        r = jnp.where(pull, r_right - jnp.uint32(s), r)
+        s *= 2
+    return chans
+
+
+def _make_fused_kernel(op: str, ntiles: int):
+    """Sequential-grid kernel: ntiles data tiles + 1 flush step."""
+
+    def kernel(scal, ahi, alo, ac, bhi, blo, bc, pre_hi, pre_lo, pre_c,
+               out_hi, out_lo, out_c, n_out,
+               win, obuf, pend_buf, sems, osem, st, dk):
+        # scratch:
+        #  win (2, 6, LOAD_R, 128) u32: [slot][side*3+ch] input windows
+        #  obuf (3, OUT_R, 128) u32: output assembly buffer
+        #  pend_buf (3, 8, 128) u32: carried partial row (row 0 used)
+        #  sems (2, 6) DMA in; osem (3,) DMA out
+        #  st SMEM (8,) i32: [cursor_row, pend, total_out, d_live]
+        #  dk SMEM (4,) u32: deferred [hi, lo, count]
+        del pre_hi, pre_lo, pre_c   # aliased to out_*; sentinel prefill
+        t = pl.program_id(0)
+        SENT = jnp.uint32(0xFFFFFFFF)
+        ins = (ahi, alo, ac, bhi, blo, bc)
+        outs = (out_hi, out_lo, out_c)
+
+        @pl.when(t == 0)
+        def _init():
+            st[0] = 0
+            st[1] = 0
+            st[2] = 0
+            st[3] = 0
+
+        def dma_in(tt, slot, ch):
+            src = ins[ch]
+            row = scal[0, tt] if ch < 3 else scal[1, tt]
+            return pltpu.make_async_copy(
+                src.at[pl.ds(row, LOAD_R), :], win.at[slot, ch],
+                sems.at[slot, ch])
+
+        def issue(tt):
+            slot = jax.lax.rem(tt, 2)
+            for ch in range(6):
+                dma_in(tt, slot, ch).start()
+
+        # double-buffered input windows: tile t's loads were issued at t-1
+        # (t=0 issues its own); the flush step's dummy window was issued at
+        # ntiles-1 and is waited on so no semaphore is left dangling.
+        @pl.when(t == 0)
+        def _first():
+            issue(0)
+
+        @pl.when(t + 1 <= ntiles)
+        def _next():
+            issue(t + 1)
+
+        slot = jax.lax.rem(t, 2)
+        for ch in range(6):
+            dma_in(t, slot, ch).wait()
+
+        a_rot = scal[2, t]
+        b_rot = scal[3, t]
+        a_cnt = scal[4, t]
+        b_cnt = scal[5, t]
+
+        # The partition is exact: a_cnt + b_cnt == TILE_E. Compose ONE
+        # T-length bitonic buffer with NO padding: A's live run left-aligned
+        # ascending at [0, a_cnt), B's live run (from the globally REVERSED
+        # copy, so already descending; its window alignment puts the run end
+        # on the row-(TILE_R+1) boundary after a right-rotation by b_rot)
+        # right-aligned at [a_cnt, T). [asc | desc] is bitonic; the merge
+        # network is 15 stages over T candidates -- HALF the vector work of
+        # the padded-2T formulation.
+        a = tuple(win[slot, ch] for ch in range(3))
+        a = _rot_left_dyn(a, a_rot)
+        b = tuple(win[slot, ch + 3] for ch in range(3))
+        b = _rot_right_dyn(b, b_rot)
+        pos = _flat_pos((TILE_R, LANES))
+        in_a = pos < a_cnt
+        cand = tuple(jnp.where(in_a, x[:TILE_R], y[1:TILE_R + 1])
+                     for x, y in zip(a, b))
+        cand = _bitonic_merge_block(cand, TILE_E)
+
+        # flush step: no data windows were issued for it; force sentinels
+        is_flush = t == ntiles
+        vhi = jnp.where(is_flush, SENT, cand[0])
+        vlo = jnp.where(is_flush, SENT, cand[1])
+        vc = jnp.where(is_flush, jnp.uint32(0), cand[2])
+
+        pos = _flat_pos(vhi.shape)
+        elem0 = pos == 0
+        last = pos == TILE_E - 1
+        valid = ~((vhi == SENT) & (vlo == SENT))
+
+        d_live = st[3] != 0
+        d_hi = jnp.where(d_live, dk[0], SENT)
+        d_lo = jnp.where(d_live, dk[1], SENT)
+        d_c = dk[2]
+
+        # stream neighbours; element 0's predecessor is the deferred key
+        # (SENT when not live => first=True unless element 0 is sentinel).
+        phi = _shift_right_flat(vhi, 1, d_hi)
+        plo = _shift_right_flat(vlo, 1, d_lo)
+        nhi = _shift_left_flat(vhi, 1, SENT)
+        nlo = _shift_left_flat(vlo, 1, SENT)
+        nc = _shift_left_flat(vc, 1, jnp.uint32(0))
+        first = (vhi != phi) | (vlo != plo)
+        same_next = (vhi == nhi) & (vlo == nlo) & ~last & valid
+        keep, cnt = _combine_policy(op, first, same_next, valid, vc, nc)
+
+        # resolve the deferred element against this tile's first element
+        v0_hi = _extract(elem0, vhi)
+        v0_lo = _extract(elem0, vlo)
+        v0_c = _extract(elem0, vc)
+        match0 = d_live & (v0_hi == d_hi) & (v0_lo == d_lo) & \
+            ~((v0_hi == SENT) & (v0_lo == SENT))
+        d_emit, d_cnt = _deferred_policy(op, d_live, match0, d_c, v0_c)
+
+        # defer this tile's LAST element (its same_next is unknowable); if
+        # it is not a segment FIRST its segment was already resolved above.
+        nd_live = jnp.sum(jnp.where(last, (first & valid).astype(jnp.int32),
+                                    0), dtype=jnp.int32)
+        dk[0] = _extract(last, vhi)
+        dk[1] = _extract(last, vlo)
+        dk[2] = _extract(last, vc)
+        st[3] = nd_live
+        keep = keep & ~last
+
+        chi, clo, cc = _butterfly_pack((vhi, vlo, cnt), keep)
+        m = jnp.sum(keep.astype(jnp.int32))
+
+        # assemble the output window: [pending | deferred? | packed tile],
+        # sentinel-masked beyond; positions vacated by the right-rotation
+        # are exactly the pending/deferred overlay region.
+        pend = st[1]
+        d_emit_i = d_emit.astype(jnp.int32)
+        ext = (jnp.full((1, LANES), SENT, jnp.uint32),) * 2 + \
+            (jnp.zeros((1, LANES), jnp.uint32),)
+        buf = tuple(jnp.concatenate([c, e], axis=0)
+                    for c, e in zip((chi, clo, cc), ext))
+        buf = _rot_right_dyn(buf, pend + d_emit_i)
+        opos = _flat_pos(buf[0].shape)
+        at_def = (opos == pend) & d_emit
+        in_pend = opos < pend
+        p_hi = pend_buf[0, 0:1, :]
+        p_lo = pend_buf[1, 0:1, :]
+        p_c = pend_buf[2, 0:1, :]
+        total = pend + d_emit_i + m
+        garbage = opos >= total
+        o_hi = jnp.where(garbage, SENT, jnp.where(
+            at_def, d_hi, jnp.where(in_pend, p_hi, buf[0])))
+        o_lo = jnp.where(garbage, SENT, jnp.where(
+            at_def, d_lo, jnp.where(in_pend, p_lo, buf[1])))
+        o_c = jnp.where(garbage, jnp.uint32(0), jnp.where(
+            at_def, d_cnt, jnp.where(in_pend, p_c, buf[2])))
+
+        # the previous tile's store reads obuf and overlaps this tile's
+        # window rows: wait for it before overwriting/starting ours.
+        cur = st[0]
+
+        @pl.when(t > 0)
+        def _wait_prev_store():
+            for ch in range(3):
+                pltpu.make_async_copy(
+                    obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
+                    osem.at[ch]).wait()
+
+        obuf[0] = o_hi
+        obuf[1] = o_lo
+        obuf[2] = o_c
+
+        full = total // LANES
+        new_pend = jax.lax.rem(total, LANES)
+        # carry the new partial row (the first not-fully-emitted row)
+        for ch in range(3):
+            pend_buf[ch, 0:1, :] = obuf[ch, pl.ds(full, 1), :]
+
+        for ch in range(3):
+            pltpu.make_async_copy(
+                obuf.at[ch], outs[ch].at[pl.ds(cur, OUT_R), :],
+                osem.at[ch]).start()
+
+        st[0] = cur + full
+        st[1] = new_pend
+        st[2] = st[2] + d_emit_i + m
+
+        @pl.when(is_flush)
+        def _finish():
+            for ch in range(3):
+                pltpu.make_async_copy(
+                    obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
+                    osem.at[ch]).wait()
+            n_out[0] = st[2]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
+                 interpret: bool = False):
+    """Fused set_op over DENSE sorted unique sentinel-padded inputs.
+
+    Same contract/outputs as ``setops.set_op`` (hi, lo, counts, n_out):
+    dense sorted unique prefix, sentinel/0 beyond, output capacity
+    next_pow2(|A|) + next_pow2(|B|) + one spill tile."""
+    MA = max(_next_pow2(hi_a.shape[0]), TILE_E)
+    MB = max(_next_pow2(hi_b.shape[0]), TILE_E)
+    n = MA + MB
+    ntiles = n // TILE_E
+
+    def padk(x, M):
+        return jnp.concatenate([x, jnp.full(M - x.shape[0], SENT32,
+                                            jnp.uint32)])
+
+    def padc(x, M):
+        return jnp.concatenate([x.astype(jnp.uint32),
+                                jnp.zeros(M - x.shape[0], jnp.uint32)])
+
+    ahi, alo = padk(hi_a, MA), padk(lo_a, MA)
+    bhi, blo = padk(hi_b, MB), padk(lo_b, MB)
+    ac = padc(c_a, MA)
+    # for diff, B-side counts are zeroed: presence-in-A == (count > 0)
+    bc = padc(c_b, MB) if op != "diff" else jnp.zeros(MB, jnp.uint32)
+
+    # exact merge-path partition over the forward concatenation
+    a0 = _pair_partition(jnp.concatenate([ahi, bhi]),
+                         jnp.concatenate([alo, blo]), MA, MB)
+    a1 = jnp.concatenate([a0[1:], jnp.full((1,), MA, a0.dtype)])
+    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+
+    # A windows: row-aligned start, live run at flat offset a0 % 128.
+    # B is passed REVERSED: forward range [b0, b1) lives at reversed
+    # positions [MB - b1, MB - b0), descending. Choose the window start and
+    # right-rotation so the run's END lands exactly on the row-(TILE_R + 1)
+    # boundary of the rotated window (kernel slices rows [1, TILE_R + 1)).
+    bend = MB - b0
+    bend_row = (bend + LANES - 1) // LANES
+    b_rot = (LANES - bend % LANES) % LANES
+    b_row = bend_row - TILE_R - 1 + LOAD_R    # + front-pad offset
+
+    scal = jnp.stack([a0 // LANES, b_row, a0 % LANES, b_rot,
+                      a1 - a0, b1 - b0]).astype(jnp.int32)
+    scal = jnp.concatenate([scal, jnp.zeros((6, 1), jnp.int32)], axis=1)
+
+    def rows(x, front, back, fill):
+        return jnp.concatenate([
+            jnp.full((front * LANES,), fill, x.dtype), x,
+            jnp.full((back * LANES,), fill, x.dtype)]).reshape(-1, LANES)
+
+    in_arrs = [rows(ahi, 0, LOAD_R, jnp.uint32(SENT32)),
+               rows(alo, 0, LOAD_R, jnp.uint32(SENT32)),
+               rows(ac, 0, LOAD_R, jnp.uint32(0)),
+               rows(bhi[::-1], LOAD_R, LOAD_R, jnp.uint32(SENT32)),
+               rows(blo[::-1], LOAD_R, LOAD_R, jnp.uint32(SENT32)),
+               rows(bc[::-1], LOAD_R, LOAD_R, jnp.uint32(0))]
+
+    cap_rows = n // LANES + OUT_R + 8
+    prefill_k = jnp.full((cap_rows, LANES), SENT32, jnp.uint32)
+    prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+                  [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, LOAD_R, LANES), jnp.uint32),
+            pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
+            pltpu.VMEM((3, 8, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((4,), jnp.uint32),
+        ],
+    )
+    out_hi, out_lo, out_c, n_out = pl.pallas_call(
+        _make_fused_kernel(op, ntiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap_rows, LANES), jnp.uint32)] * 3 +
+                  [jax.ShapeDtypeStruct((1,), jnp.int32)],
+        input_output_aliases={7: 0, 8: 1, 9: 2},
+        interpret=interpret,
+    )(scal, *in_arrs, prefill_k, prefill_k, prefill_c)
+    return (out_hi.reshape(-1), out_lo.reshape(-1), out_c.reshape(-1),
+            n_out[0])

@@ -69,9 +69,11 @@ def use_merge_path(n_a: int, n_b: int) -> bool:
 
 
 def set_op_auto(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
-    """Dispatch: merge-path Pallas on TPU for tile-sized dense inputs,
-    sort-based XLA otherwise. Inputs must be dense (compacted)."""
+    """Dispatch: FUSED merge+combine+compact Pallas kernel on TPU for
+    tile-sized dense inputs (kernels/merge_fused.py), sort-based XLA
+    otherwise. Inputs must be dense (compacted)."""
     from zotpu.kernels import setops as K
     if use_merge_path(hi_a.shape[0], hi_b.shape[0]):
-        return set_op_merge_path(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op)
+        from zotpu.kernels.merge_fused import set_op_fused
+        return set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op)
     return K.set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op)

@@ -60,10 +60,11 @@ def _merge_fused(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
-    """_merge_fused via the merge-path Pallas front-end -- DENSE operands
-    only (every set_op output is dense, so levels >= 1 qualify)."""
-    from zotpu.kernels.setops_merge import set_op_merge_path
-    hi, lo, cnt, n = set_op_merge_path(ahi, alo, ac, bhi, blo, bc, op="merge")
+    """_merge_fused via the FUSED Pallas merge+combine+compact kernel --
+    DENSE operands only (every set_op output is dense, so levels >= 1
+    qualify)."""
+    from zotpu.kernels.merge_fused import set_op_fused
+    hi, lo, cnt, n = set_op_fused(ahi, alo, ac, bhi, blo, bc, op="merge")
     ov = jnp.maximum(ov, n - out_cap)
     return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
 
