@@ -45,7 +45,9 @@ def main():
 
     log(f"kmerize {r['seconds']:.3f}s; setops...")
     try:
-        s = harness.bench_setops(n=1 << 21, repeats=3)
+        # 16M keys/side: a small genome's unique-kmer set; below ~8M/side
+        # the ~25 ms tunnel dispatch latency halves the reported rate
+        s = harness.bench_setops(n=1 << 24, repeats=3)
         _emit({
             "metric": "setops_merge_gb_per_s",
             "value": s["gb_per_s"],

@@ -1,5 +1,6 @@
 """Sort-merge membership join vs the binary-search oracle and golden."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -50,22 +51,23 @@ def test_join_pallas_interpret_matches_xla():
     n_rows, m_per_row = 64, 512  # 32768 = TILE_E boundary
     panel_keys = np.unique(rng.integers(0, 1 << 40, 5000).astype(np.uint64))
     phi, plo = _panel(panel_keys, 8192)
-    qk = rng.integers(0, 1 << 40, n_rows * m_per_row).astype(np.uint64)
+    m = n_rows * m_per_row
+    qk = rng.integers(0, 1 << 40, m).astype(np.uint64)
     # force overlap
     qk[::7] = panel_keys[rng.integers(0, len(panel_keys), len(qk[::7]))]
     qhi, qlo = S.split_hi_lo(qk)
     import jax.numpy as jnp
-    tag = (np.repeat(np.arange(n_rows, dtype=np.uint32), m_per_row) + 1)
-    order = np.lexsort((qlo, qhi))
-    hit_p, tag_p = J._join_pallas(jnp.asarray(phi), jnp.asarray(plo),
-                                  jnp.asarray(qhi[order]),
-                                  jnp.asarray(qlo[order]),
-                                  jnp.asarray(tag[order]), interpret=True)
-    hit_x, tag_x = J._join_xla(jnp.asarray(phi), jnp.asarray(plo),
-                               jnp.asarray(qhi), jnp.asarray(qlo),
-                               jnp.asarray(tag))
-    rows_p = np.asarray(J._rowsum_by_tag(hit_p, tag_p, n_rows))
-    rows_x = np.asarray(J._rowsum_by_tag(hit_x, tag_x, n_rows))
+    phi_s, plo_s = J._transform_keys(jnp.asarray(phi), jnp.asarray(plo),
+                                     is_probe=False)
+    qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
+                                     is_probe=True)
+    idx = jnp.arange(m, dtype=jnp.uint32)
+    shi, slo, sidx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
+    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, sidx, m,
+                                 interpret=True)
+    bkey_x = J._join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
+    rows_p = np.asarray(J._rowsum_by_idx(bkey_p, n_rows, m_per_row))
+    rows_x = np.asarray(J._rowsum_by_idx(bkey_x, n_rows, m_per_row))
     assert np.array_equal(rows_p, rows_x)
     want = np.isin(qk, panel_keys)
     want_rows = want.reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32)
@@ -79,9 +81,7 @@ def test_join_duplicate_queries_same_key():
     phi, plo = _panel(panel_keys, 8)
     qk = np.array([200] * 5 + [150] * 3, np.uint64)
     qhi, qlo = S.split_hi_lo(qk)
-    tag = np.ones(8, np.uint32)  # all one row
-    hit, tag_o = J._join_xla(jnp.asarray(phi), jnp.asarray(plo),
-                             jnp.asarray(qhi), jnp.asarray(qlo),
-                             jnp.asarray(tag))
-    rows = np.asarray(J._rowsum_by_tag(hit, tag_o, 1))
+    rows = np.asarray(J.row_hits_sorted_join(
+        jnp.asarray(phi), jnp.asarray(plo),
+        jnp.asarray(qhi), jnp.asarray(qlo), 1, 8))
     assert rows[0] == 5

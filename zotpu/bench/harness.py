@@ -57,11 +57,13 @@ def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
     }
 
 
-def bench_setops(n: int = 1 << 22, repeats: int = 3,
+def bench_setops(n: int = 1 << 24, repeats: int = 3,
                  impl: str = "auto") -> dict:
     """Sorted-set merge GB/s (BASELINE metric 2). impl: "auto" measures the
-    production dispatch (merge-path Pallas on TPU), "sort" pins the round-1
-    sort-based kernel for A/B comparison."""
+    production dispatch (fused merge kernel on TPU), "sort" pins the round-1
+    sort-based kernel for A/B comparison. n = 16M keys/side (a small genome's
+    unique-kmer set): large enough that the ~25 ms tunnel dispatch latency
+    doesn't swamp the kernel (at 4M/side it halves the reported rate)."""
     from zotpu.kernels.setops_merge import set_op_auto
 
     rng = np.random.default_rng(1)

@@ -5,13 +5,21 @@ Reference analog: zotmer's scan binary-searches each k-mer in the panel
 (``kernels/search.member2``) kept that shape -- ~log2(n) panel GATHERS per
 query -- but XLA:TPU lowers gather to ~0.03 Gelem/s (docs/PERF_NOTES.md), so
 scan measured ~2 Mkmer/s. TPU has no vector-gather unit; the gather-free
-formulation is a SORT-MERGE JOIN:
+formulation is a SORT-MERGE JOIN. Round-2 restructure (the round-2.0 shape
+paid FOUR full-width lax.sorts per batch; profiled 53 Mkmer/s):
 
-1. sort queries by key, carrying a tag payload (row id + 1; 0 = panel);
-2. ONE streaming merge pass against the sorted panel (panel-first on ties);
-3. per equal-key segment, "does it start with a panel row?" via a single
-   cummax over ``2*pos + is_panel_start`` (no gather, no scatter);
-4. per-row counts: sort hit bits back by tag and segment-sum per row.
+1. transform keys to key* = key*2 + is_probe (51 bits still fit the
+   (hi, lo) u32 pair since hi < 2^31): the tie-break rides INSIDE the key,
+   so even an unstable bitonic merge lands the panel row FIRST in its
+   equal-key segment -- no bidirectional segment scans needed;
+2. sort queries by key*, carrying the flat probe index as payload;
+3. ONE streaming merge pass against the sorted (transformed) panel;
+4. hit bits via two cummax scans (previous-panel-position vs segment
+   start);
+5. per-row counts: ONE keys-only u32 sort of ``idx*2 + hit`` restores
+   probe order (panel rows carry idx = n_probes and sink to the tail),
+   then a reshape row-sum -- replacing the round-2.0 tag-sort +
+   flag-sort-compaction pair of full-width sorts.
 
 Everything is sorts, scans, and one Pallas merge pass -- the primitives this
 codebase already runs at full VPU rate.
@@ -27,8 +35,56 @@ import jax.numpy as jnp
 from zotpu.kernels.pack import SENT32
 
 
+def _transform_keys(hi, lo, is_probe: bool):
+    """key -> key* = key*2 + is_probe, still two u32 words (51 bits max:
+    valid canonical keys have hi < 2^31). Monotone in (key, is_probe), so a
+    2-channel sort/merge of key* is a 3-key (hi, lo, side) sort with panel
+    rows (side 0) FIRST in every equal-key segment. Probe-side sentinel
+    rows (0xFFFF.., 0xFFFF..) map to themselves; panel-side pads map to
+    (0xFFFF.., 0xFFFF..FE) -- both have hi* >= 2^31 and are masked as
+    invalid downstream."""
+    b = jnp.uint32(1) if is_probe else jnp.uint32(0)
+    return (hi << 1) | (lo >> 31), (lo << 1) | b
+
+
+def _hits_from_merged_star(hi_s, lo_s, idx, n_probes: int):
+    """Per-element hit bits from a key*-merged stream.
+
+    A panel row is the FIRST element of its segment by construction (panel
+    keys are unique and key* makes the side bit the lowest key bit), so
+    hit(probe) = "my segment's first element is a panel row" -- ONE cummax
+    propagating (pos*2 + is_panel) from segment firsts. Returns (hit, bkey)
+    where bkey = min(idx, n_probes)*2 + hit is the backward-sort key."""
+    n = hi_s.shape[0]
+    is_probe = (lo_s & 1) == 1
+    klo = lo_s >> 1                      # key equality = (hi_s, lo_s >> 1)
+    neq = (hi_s[1:] != hi_s[:-1]) | (klo[1:] != klo[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), neq])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    lead = jnp.where(first, pos * 2 + (~is_probe).astype(jnp.int32), -1)
+    lead = jax.lax.cummax(lead, axis=0)
+    valid = hi_s < jnp.uint32(0x80000000)   # real keys only (see transform)
+    hit = is_probe & ((lead & 1) == 1) & valid
+    bkey = (jnp.minimum(idx, jnp.uint32(n_probes)) << 1) | hit.astype(
+        jnp.uint32)
+    return hit, bkey
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "m_per_row"))
+def _rowsum_by_idx(bkey, n_rows: int, m_per_row: int):
+    """One keys-only u32 sort of idx*2+hit: probes (idx < n_probes, each idx
+    exactly once) come back in original order with their hit bit in the LSB;
+    panel/pad rows (idx == n_probes) sink to the tail. Then a reshape
+    row-sum. Replaces two full-width payload sorts (round-2.0 shape)."""
+    m = n_rows * m_per_row
+    (bkey,) = jax.lax.sort((bkey,), num_keys=1)
+    hits = (bkey[:m] & jnp.uint32(1)).astype(jnp.int32)
+    return hits.reshape(n_rows, m_per_row).sum(axis=1, dtype=jnp.int32)
+
+
 def _hits_from_merged(hi, lo, tag):
-    """Post-merge: per-row hit bits. Rows sorted by (hi, lo); tag==0 marks
+    """Post-merge: per-row hit bits (TAG-contract path, used by the sharded
+    pulldown in dist/shuffle.py). Rows sorted by (hi, lo); tag==0 marks
     panel rows, tag>0 query rows. A query hits iff its equal-key segment
     CONTAINS a panel row -- checked in both directions because bitonic merge
     networks are NOT stable, so a tie's panel row may land anywhere in the
@@ -49,31 +105,47 @@ def _hits_from_merged(hi, lo, tag):
     return (tag > 0) & in_segment & valid
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _join_pallas(phi, plo, qhi, qlo, qtag, interpret: bool = False):
-    """TPU path: one streaming bitonic-merge pass over [panel | queries]
-    (unequal-run pair merge; panel first on ties), then the segment scan."""
+@functools.partial(jax.jit, static_argnames=("n_probes", "interpret"))
+def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
+                      interpret: bool = False):
+    """TPU path: one streaming bitonic-merge pass over the key*-transformed
+    [panel | queries] (no cross-side ties by construction), then the
+    single-cummax hit scan. Inputs already transformed; queries sorted by
+    key* with idx payload. Returns bkey (see _hits_from_merged_star)."""
     from zotpu.kernels.setops_merge import _next_pow2
     from zotpu.kernels.sort_pallas import TILE_E, stream_merge_pair_pallas
 
-    MA = max(_next_pow2(phi.shape[0]), TILE_E)
-    MB = max(_next_pow2(qhi.shape[0]), TILE_E)
+    MA = max(_next_pow2(phi_s.shape[0]), TILE_E)
+    MB = max(_next_pow2(qhi_s.shape[0]), TILE_E)
 
-    def padk(x, M):
-        return jnp.concatenate([x, jnp.full(M - x.shape[0], SENT32,
+    def pad(x, M, fill):
+        return jnp.concatenate([x, jnp.full(M - x.shape[0], fill,
                                             jnp.uint32)])
 
-    def padt(x, M):
-        # pad tags with 0 (panel id): padded rows are sentinel-keyed and
-        # masked by `valid` in _hits_from_merged either way
-        return jnp.concatenate([x, jnp.zeros(M - x.shape[0], jnp.uint32)])
-
-    hi = jnp.concatenate([padk(phi, MA), padk(qhi, MB)])
-    lo = jnp.concatenate([padk(plo, MA), padk(qlo, MB)])
-    tag = jnp.concatenate([jnp.zeros(MA, jnp.uint32), padt(qtag, MB)])
+    # pads keep each side sorted: hi* = SENT32 > any valid hi* (< 2^31);
+    # panel pads keep the panel side bit (lo* even), probe pads idx=n_probes
+    hi = jnp.concatenate([pad(phi_s, MA, SENT32), pad(qhi_s, MB, SENT32)])
+    lo = jnp.concatenate([pad(plo_s, MA, 0xFFFFFFFE),
+                          pad(qlo_s, MB, SENT32)])
+    tag = jnp.concatenate([jnp.full(MA, n_probes, jnp.uint32),
+                           pad(idx, MB, n_probes)])
     hi, lo, tag = stream_merge_pair_pallas(hi, lo, tag, nA=MA,
                                            interpret=interpret)
-    return _hits_from_merged(hi, lo, tag), tag
+    _, bkey = _hits_from_merged_star(hi, lo, tag, n_probes)
+    return bkey
+
+
+@functools.partial(jax.jit, static_argnames=("n_probes",))
+def _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int):
+    """Portable path: concat + 2-key lax.sort of the key*-transformed rows
+    (the side bit lives in the key, so no third sort channel is needed)."""
+    hi = jnp.concatenate([phi_s, qhi_s])
+    lo = jnp.concatenate([plo_s, qlo_s])
+    tag = jnp.concatenate([jnp.full(phi_s.shape[0], n_probes, jnp.uint32),
+                           idx])
+    hi, lo, tag = jax.lax.sort((hi, lo, tag), num_keys=2)
+    _, bkey = _hits_from_merged_star(hi, lo, tag, n_probes)
+    return bkey
 
 
 @jax.jit
@@ -97,33 +169,18 @@ def row_hits_sorted_join(phi, plo, qhi, qlo, n_rows: int, m_per_row: int):
     from zotpu.kernels.dispatch import use_pallas
 
     m = qhi.shape[0]
-    # tag = row id + 1 (0 is reserved for panel rows)
-    tag = (jax.lax.broadcasted_iota(jnp.uint32, (n_rows, m_per_row), 0)
-           + 1).reshape(-1)
+    if n_rows * m_per_row != m:
+        raise ValueError(f"query length {m} != {n_rows} x {m_per_row}")
+    if m >= 1 << 30:
+        raise ValueError(f"batch of {m} probes exceeds the 2^30 idx*2+hit "
+                         f"key budget; split the batch")
+    phi_s, plo_s = _transform_keys(phi, plo, is_probe=False)
+    qhi_s, qlo_s = _transform_keys(qhi, qlo, is_probe=True)
+    idx = jnp.arange(m, dtype=jnp.uint32)
     if use_pallas() and m >= (1 << 15):
         # pre-sort queries (the dominant cost), then ONE streaming merge
-        qhi, qlo, tag = jax.lax.sort((qhi, qlo, tag), num_keys=2)
-        hit, tag = _join_pallas(phi, plo, qhi, qlo, tag)
+        qhi_s, qlo_s, idx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
+        bkey = _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
     else:
-        hit, tag = _join_xla(phi, plo, qhi, qlo, tag)  # sorts the concat
-    return _rowsum_by_tag(hit, tag, n_rows)
-
-
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def _rowsum_by_tag(hit, tag, n_rows: int):
-    """Group hit bits by row tag: sort by tag, then segment-sum via scans.
-
-    Tags are DENSE by construction (tag 0 = all panel+padding rows; tag r+1
-    occurs exactly m_per_row times for every row r), so the runs of the
-    tag-sorted stream are exactly [0, 1, ..., n_rows] in order and run i+1
-    IS row i -- no scatter anywhere."""
-    tag, hitv = jax.lax.sort((tag, hit.astype(jnp.uint32)), num_keys=1)
-    csum = jnp.cumsum(hitv, dtype=jnp.uint32)
-    last = jnp.concatenate([tag[1:] != tag[:-1], jnp.ones((1,), bool)])
-    ends = jnp.where(last, csum, jnp.uint32(0))
-    # stable flag-sort compacts run-end prefix sums to the front in tag order
-    flag = (~last).astype(jnp.uint32)
-    _, ends_sorted = jax.lax.sort((flag, ends), num_keys=1, is_stable=True)
-    runs = ends_sorted[:n_rows + 1]
-    prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), runs[:-1]])
-    return (runs - prev)[1:].astype(jnp.int32)
+        bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
+    return _rowsum_by_idx(bkey, n_rows, m_per_row)
