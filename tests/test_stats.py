@@ -123,7 +123,9 @@ def test_bench_cli_small(capsys):
     from types import SimpleNamespace
 
     from zotpu.bench import harness
-    args = SimpleNamespace(workload="all", bases=1 << 16, k=15, repeats=1)
+    args = SimpleNamespace(workload="all", bases=1 << 16, k=15, repeats=1,
+                           setops_n=1 << 12, scan_reads=1 << 8,
+                           scan_panel=1 << 10)
     assert harness.run(args) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     recs = [_json.loads(l) for l in lines]

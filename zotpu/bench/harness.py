@@ -137,19 +137,26 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
 
 
 def run(args) -> int:
+    # optional size overrides (tests shrink these; CLI uses full defaults)
+    setops_n = getattr(args, "setops_n", None) or (1 << 24)
+    scan_reads = getattr(args, "scan_reads", None) or (1 << 17)
+    scan_panel = getattr(args, "scan_panel", None) or (1 << 20)
     results = []
     if args.workload in ("kmerize", "all"):
         results.append(bench_kmerize(args.bases, k=args.k, repeats=args.repeats))
     if args.workload in ("setops", "all"):
-        results.append(bench_setops(repeats=args.repeats))
+        results.append(bench_setops(n=setops_n, repeats=args.repeats))
     if args.workload == "setops-sort":
-        results.append(bench_setops(repeats=args.repeats, impl="sort"))
+        results.append(bench_setops(n=setops_n, repeats=args.repeats,
+                                    impl="sort"))
     if args.workload in ("scan", "all"):
-        results.append(bench_scan(repeats=args.repeats, k=args.k))
+        results.append(bench_scan(n_reads=scan_reads, panel_size=scan_panel,
+                                  repeats=args.repeats, k=args.k))
     if args.workload in ("scaling", "all"):
         results.extend(bench_scaling(repeats=args.repeats))
     if args.workload in ("e2e", "all"):
-        results.append(bench_e2e(total_bases=args.bases, k=args.k))
+        results.append(bench_e2e(total_bases=args.bases, k=args.k,
+                                 repeats=args.repeats))
     for r in results:
         r["device"] = str(jax.devices()[0])
         print(json.dumps(r))
@@ -205,7 +212,7 @@ def bench_scaling(reads_per_chip: int = 512, read_len: int = 256, k: int = 25,
 
 
 def bench_e2e(total_bases: int = 1 << 25, k: int = 25, read_len: int = 128,
-              repeats: int = 1) -> dict:
+              repeats: int = 2) -> dict:
     """Whole-pipeline throughput: FASTQ on disk -> parse -> device batches ->
     device-resident merge -> final set (the CLI path, minus container write)."""
     import os

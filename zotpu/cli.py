@@ -538,6 +538,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--bases", type=int, default=1 << 26)
     sp.add_argument("--k", type=int, default=25)
     sp.add_argument("--repeats", type=int, default=3)
+    sp.add_argument("--setops-n", type=int, default=None,
+                    help="keys per side for the setops workload")
+    sp.add_argument("--scan-reads", type=int, default=None,
+                    help="reads for the scan workload")
+    sp.add_argument("--scan-panel", type=int, default=None,
+                    help="panel size for the scan workload")
     sp.set_defaults(fn=cmd_bench)
     return p
 

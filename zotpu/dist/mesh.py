@@ -23,6 +23,11 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     n = n_devices or len(devs)
     if n & (n - 1):
         raise ValueError(f"device count must be a power of two, got {n}")
+    if n > len(devs):
+        # a silent devs[:n] clamp would build a SMALLER mesh whose capacity
+        # math (sized for n shards) quietly overflows -- fail loudly instead
+        raise ValueError(f"requested a {n}-device mesh but only {len(devs)} "
+                         f"device(s) are visible")
     return Mesh(np.asarray(devs[:n]), (AXIS,))
 
 
