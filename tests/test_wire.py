@@ -1,0 +1,56 @@
+"""io/wire.py: the 2-bit H2D wire format round-trips exactly."""
+
+import numpy as np
+import pytest
+
+from zotpu import semantics as S
+from zotpu.io import wire
+
+
+def _norm(codes):
+    # parse emits codes in {0..3, INVALID_CODE}; the wire form canonicalizes
+    # every invalid value to INVALID_CODE
+    return np.where(codes >= 4, S.INVALID_CODE, codes).astype(np.uint8)
+
+
+@pytest.mark.parametrize("rows,L", [(1, 8), (7, 64), (33, 256), (5, 120)])
+def test_roundtrip(rows, L):
+    rng = np.random.default_rng(rows * 1000 + L)
+    codes = rng.integers(0, 6, size=(rows, L)).astype(np.uint8)  # some >=4
+    packed, mask = wire.pack_codes(codes)
+    assert packed.shape == (rows, L // 4) and packed.dtype == np.uint8
+    assert mask.shape == (rows, L // 8) and mask.dtype == np.uint8
+    out = np.asarray(wire.unpack_codes(packed, mask))
+    np.testing.assert_array_equal(out, _norm(codes))
+
+
+def test_all_valid_and_all_invalid():
+    codes = np.zeros((2, 16), np.uint8)
+    codes[1, :] = S.INVALID_CODE
+    packed, mask = wire.pack_codes(codes)
+    assert mask[0].sum() == 0 and mask[1].sum() == 16 // 8 * 255
+    out = np.asarray(wire.unpack_codes(packed, mask))
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_rejects_unaligned_rows():
+    with pytest.raises(ValueError):
+        wire.pack_codes(np.zeros((2, 10), np.uint8))
+
+
+def test_kmerize_wire_path_matches_golden(tmp_path):
+    # end-to-end through kmerize_paths (wire form is the default for 8|L)
+    from zotpu.reference_impl import golden as G
+    from zotpu.workloads import kmerize as W
+
+    rng = np.random.default_rng(7)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    seqs = ["".join(chr(c) for c in lut[rng.integers(0, 5, size=n)])
+            for n in rng.integers(30, 90, size=50)]
+    p = tmp_path / "r.fasta"
+    p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    k = 13
+    keys, counts = W.kmerize_paths([str(p)], k, batch_reads=16, max_len=96)
+    gk, gc = G.kmerize(k, seqs)
+    np.testing.assert_array_equal(keys, gk)
+    np.testing.assert_array_equal(counts, gc)

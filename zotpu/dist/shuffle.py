@@ -103,10 +103,14 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
 
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
                       capacity_factor: float = 2.0, compact: bool = True,
-                      second_round: bool = True):
+                      second_round: bool = True, wire: bool = False):
     """Build the jitted multi-chip kmerize step.
 
     Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
+    With ``wire=True`` the step instead takes the 0.375 B/base wire form
+    (io/wire.py) -- packed (D*R, read_len/4) u8 + mask (D*R, read_len/8) u8 +
+    lengths -- and each shard unpacks its local slice on device (elementwise,
+    fused); read_len must be a multiple of 8.
     Output (global, sharded by shard): per-shard unique keys hi/lo (D, cap_out),
     counts (D, cap_out), n_unique (D,), overflow (D,), routed (D,) --
     concatenating the valid prefixes of the shard rows yields the globally
@@ -125,7 +129,10 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
     cap_out = D * (cap + cap2)
 
-    def local_step(codes, lengths):
+    if wire and read_len % 8:
+        raise ValueError(f"wire form needs 8 | read_len, got {read_len}")
+
+    def body(codes, lengths):
         hi, lo, w = pack_canonical(codes, lengths, k)
         hi, lo = jax.lax.sort((hi, lo), num_keys=2)
         (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
@@ -138,12 +145,22 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         return (uhi[None], ulo[None], counts[None],
                 n[None].astype(jnp.int32), overflow[None], routed[None])
 
+    if wire:
+        from zotpu.io import wire as W
+
+        def local_step(packed, mask, lengths):
+            return body(W.unpack_codes(packed, mask), lengths)
+        in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS))
+    else:
+        local_step = body
+        in_specs = (P(AXIS, None), P(AXIS))
+
     # check_vma=False: the Pallas pack kernel's out_shape has no varying-
     # mesh-axes annotation, which the checker rejects on TPU (collectives
     # here are explicit and covered by the byte-equality tests).
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
+        in_specs=in_specs,
         out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
                    P(AXIS), P(AXIS)),
         check_vma=False,
@@ -166,8 +183,13 @@ def gather_global(uhi, ulo, counts, n_unique):
 
 
 def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
-                       panel_cap: int, capacity_factor: float = 2.0):
+                       panel_cap: int, capacity_factor: float = 2.0,
+                       wire: bool = False):
     """Multi-chip panel pulldown (BASELINE config 5).
+
+    ``wire=True``: input reads arrive in the 0.375 B/base wire form
+    (io/wire.py) as (packed, mask, lengths, panel_hi, panel_lo); see
+    make_kmerize_step.
 
     The panel is sharded by the same key prefix as kmerize: shard d holds the
     panel keys whose owner is d (sentinel-padded to panel_cap). Read k-mers
@@ -192,7 +214,7 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
     cap2 = (cap + 3) // 4 if D > 1 else 0
     R_total = D * reads_per_chip
 
-    def local_step(codes, lengths, phi, plo):
+    def body(codes, lengths, phi, plo):
         phi, plo = phi[0], plo[0]
         hi, lo, w = pack_canonical(codes, lengths, k)
         my = jax.lax.axis_index(AXIS).astype(jnp.uint32)
@@ -214,9 +236,22 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         hits = jax.lax.psum(hits, AXIS)
         return hits[None], overflow[None]
 
+    if wire:
+        if read_len % 8:
+            raise ValueError(f"wire form needs 8 | read_len, got {read_len}")
+        from zotpu.io import wire as W
+
+        def local_step(packed, mask, lengths, phi, plo):
+            return body(W.unpack_codes(packed, mask), lengths, phi, plo)
+        in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS),
+                    P(AXIS, None), P(AXIS, None))
+    else:
+        local_step = body
+        in_specs = (P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None))
+
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None)),
+        in_specs=in_specs,
         out_specs=(P(AXIS, None), P(AXIS)),
         check_vma=False,  # see make_kmerize_step note
         )

@@ -93,6 +93,11 @@ class CodeBatch:
     n_reads: int
     bases: int = -1
     record_ids: np.ndarray | None = None
+    # Optional H2D wire form (packed 2-bit codes, invalid bitmask) -- see
+    # io/wire.py. Populated by the input pipeline when the consumer ships
+    # batches to a device, so the pack overlaps device compute in the
+    # prefetch thread.
+    wire: tuple | None = None
 
     def __post_init__(self):
         if self.bases < 0:

@@ -14,6 +14,7 @@ story, SURVEY.md section 5: a crashed run resumes from completed runs + merge).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -51,6 +52,19 @@ def _device_batch(codes, lengths, k, compact: bool = True):
     return sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "compact"))
+def _device_batch_wire(packed, mask, lengths, k, compact=True):
+    """Per-batch step over the 0.375 B/base wire form (io/wire.py): the
+    2-bit unpack is elementwise and fuses into the same XLA program, so
+    shipping packed batches cuts H2D bytes 2.67x at no device cost (the
+    H2D link is the e2e bottleneck: ~40-60 MB/s on tunneled rigs)."""
+    from zotpu.io import wire
+    from zotpu.kernels import dispatch
+    codes = wire.unpack_codes(packed, mask)
+    hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
+    return sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact)
+
+
 DEVICE_MERGE_THRESHOLD = 1 << 20  # total keys above which the device tree wins
 
 
@@ -82,11 +96,13 @@ class Interrupted(RuntimeError):
     """Raised by the fault-injection hook to simulate a mid-run crash."""
 
 
-def _iter_batches(paths, batch_reads, max_len, k, stats):
+def _iter_batches(paths, batch_reads, max_len, k, stats, wire_pack=False):
     """Shared prefetched batch stream; updates stats per batch.
 
     stats.reads counts input RECORDS, not rows: halo-chunked overlong records
-    span several rows (and possibly batches), deduplicated via record_ids."""
+    span several rows (and possibly batches), deduplicated via record_ids.
+    wire_pack=True attaches the 2-bit H2D wire form (io/wire.py) to each
+    batch, computed in the prefetch thread so it overlaps device compute."""
     from zotpu.io.prefetch import prefetch
 
     def all_batches():
@@ -100,6 +116,9 @@ def _iter_batches(paths, batch_reads, max_len, k, stats):
                     n_rec -= 1  # first record continues from previous batch
                 if len(rids):
                     last_id = int(rids[-1])
+                if wire_pack:
+                    from zotpu.io import wire
+                    batch.wire = wire.pack_codes(batch.codes)
                 yield batch, n_rec
 
     for batch, n_rec in prefetch(all_batches(), depth=2):
@@ -158,7 +177,9 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
 
     # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
     # device compute and host merging of the previous batch.
-    for batch in _iter_batches(paths, batch_reads, max_len, k, stats):
+    wire_pack = max_len % 8 == 0  # wire form needs 8|L (batches are padded)
+    for batch in _iter_batches(paths, batch_reads, max_len, k, stats,
+                               wire_pack=wire_pack):
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
@@ -178,13 +199,21 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         # async H2D upload first, do the previous batch's host/merge work
         # while it flies, then dispatch compute on device-resident inputs.
 
-        codes_d = jax.device_put(batch.codes)
+        if wire_pack:
+            packed_d = jax.device_put(batch.wire[0])
+            mask_d = jax.device_put(batch.wire[1])
+        else:
+            codes_d = jax.device_put(batch.codes)
         lengths_d = jax.device_put(batch.lengths)
         if pending is not None:
             consume(pending)
         # Spill runs are sliced [:n] on the host, so they need the compacted
         # form; the accumulator path takes the cheaper marked form.
-        out = _device_batch(codes_d, lengths_d, k, compact=not use_acc)
+        if wire_pack:
+            out = _device_batch_wire(packed_d, mask_d, lengths_d, k,
+                                     compact=not use_acc)
+        else:
+            out = _device_batch(codes_d, lengths_d, k, compact=not use_acc)
         pending = (out, batch_no, run_path)
     if pending is not None:
         consume(pending)
@@ -216,9 +245,11 @@ class _GlobalBatch:
     """A multi-controller batch: globally-sharded device arrays."""
     codes: object
     lengths: object
+    wire: tuple | None = None
 
 
-def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats):
+def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats,
+                         wire_pack=False):
     """Batch stream for the sharded step.
 
     Single controller: plain numpy batches (XLA shards them on dispatch).
@@ -227,20 +258,24 @@ def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats):
     assembled with jax.make_array_from_process_local_data -- data-parallel
     reading with no cross-host byte shipping (SURVEY.md section 2b DP row).
     Hosts whose files run out feed empty rows until every host is drained
-    (steps are collective, so all hosts must iterate in lockstep)."""
+    (steps are collective, so all hosts must iterate in lockstep).
+    wire_pack ships batches in the 0.375 B/base wire form (io/wire.py)."""
     if jax.process_count() == 1:
-        yield from _iter_batches(paths, rtot, max_len, k, stats)
+        yield from _iter_batches(paths, rtot, max_len, k, stats,
+                                 wire_pack=wire_pack)
         return
     from jax.experimental import multihost_utils as mh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from zotpu.dist.mesh import AXIS
+    from zotpu.io import wire as W
     n_local = sum(1 for d in mesh.devices.flat
                   if d.process_index == jax.process_index())
     local_rows = reads_per_chip * n_local
     sh2 = NamedSharding(mesh, P(AXIS, None))
     sh1 = NamedSharding(mesh, P(AXIS))
-    it = iter(_iter_batches(paths, local_rows, max_len, k, stats))
+    it = iter(_iter_batches(paths, local_rows, max_len, k, stats,
+                            wire_pack=wire_pack))
     while True:
         batch = next(it, None)
         has_more = mh.process_allgather(np.asarray([batch is not None]))
@@ -249,11 +284,19 @@ def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats):
         if batch is None:  # this host is drained; feed all-padding rows
             codes_l = np.full((local_rows, max_len), S.INVALID_CODE, np.uint8)
             lengths_l = np.zeros(local_rows, np.int32)
+            wire_l = W.pack_codes(codes_l) if wire_pack else None
         else:
             codes_l, lengths_l = batch.codes, batch.lengths
-        yield _GlobalBatch(
-            jax.make_array_from_process_local_data(sh2, codes_l),
-            jax.make_array_from_process_local_data(sh1, lengths_l))
+            wire_l = batch.wire
+        lengths_g = jax.make_array_from_process_local_data(sh1, lengths_l)
+        if wire_pack:
+            yield _GlobalBatch(None, lengths_g, wire=(
+                jax.make_array_from_process_local_data(sh2, wire_l[0]),
+                jax.make_array_from_process_local_data(sh2, wire_l[1])))
+        else:
+            yield _GlobalBatch(
+                jax.make_array_from_process_local_data(sh2, codes_l),
+                lengths_g)
 
 
 def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
@@ -302,16 +345,18 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
     use_acc = spill_dir is None
+    wire_pack = max_len % 8 == 0
     step, cap_out = shuffle.make_kmerize_step(
         mesh, k, reads_per_chip, max_len, capacity_factor=capacity_factor,
-        compact=not use_acc)
+        compact=not use_acc, wire=wire_pack)
     acc: ShardedAccumulator | None = None
     route_overflow = None  # device-side deferred counter (accumulator mode)
     routed_tot = None      # per-shard routed k-mer volumes (device)
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     batch_no = 0
     for batch in _iter_global_batches(paths, mesh, reads_per_chip, rtot,
-                                      max_len, k, stats):
+                                      max_len, k, stats,
+                                      wire_pack=wire_pack):
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
@@ -322,8 +367,12 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             continue
         if fail_after_batches is not None and batch_no > fail_after_batches:
             raise Interrupted(f"injected failure before batch {batch_no}")
-        uhi, ulo, counts, n_unique, overflow, routed = step(
-            batch.codes, batch.lengths)
+        if wire_pack:
+            uhi, ulo, counts, n_unique, overflow, routed = step(
+                batch.wire[0], batch.wire[1], batch.lengths)
+        else:
+            uhi, ulo, counts, n_unique, overflow, routed = step(
+                batch.codes, batch.lengths)
         if use_acc:
             if acc is None:
                 # each shard can receive up to cap_out entries per batch

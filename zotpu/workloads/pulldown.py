@@ -38,6 +38,32 @@ def scan_batch(codes, lengths, panel_hi, panel_lo, k: int):
     return row_hits_sorted_join(panel_hi, panel_lo, hi, lo, R, m)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def scan_batch_wire(packed, mask, lengths, panel_hi, panel_lo, k: int):
+    """scan_batch over the 0.375 B/base wire form (io/wire.py): the 2-bit
+    unpack fuses into the same program; H2D bytes drop 2.67x (the scan CLI
+    is H2D-bound on tunneled rigs, like kmerize)."""
+    from zotpu.io import wire
+    codes = wire.unpack_codes(packed, mask)
+    return scan_batch(codes, lengths, panel_hi, panel_lo, k)
+
+
+def _iter_scan_batches(path, batch_reads, max_len, k, wire_pack):
+    """Prefetched batch stream for scans; packs the wire form (and ships
+    arrays to the device) in the prefetch thread to overlap device compute."""
+    from zotpu.io.prefetch import prefetch
+
+    def gen():
+        for batch in fastq.parse_batches(path, batch_reads, max_len,
+                                         halo=k - 1):
+            if wire_pack:
+                from zotpu.io import wire
+                batch.wire = wire.pack_codes(batch.codes)
+            yield batch
+
+    yield from prefetch(gen(), depth=2)
+
+
 def panel_to_device(keys: np.ndarray, capacity: int | None = None):
     """Sorted u64 panel -> sentinel-padded (hi, lo) device arrays."""
     n = len(keys)
@@ -84,11 +110,18 @@ def pulldown_paths(panel_keys: np.ndarray, sample_paths: list[str], k: int,
                    batch_reads: int = 4096, max_len: int = 256):
     """Per-sample (total_hits, reads_with_hits, per_read_hits list)."""
     phi, plo = panel_to_device(panel_keys)
+    wire_pack = max_len % 8 == 0
     results = []
     for path in sample_paths:
         agg = RecordAggregator()
-        for batch in fastq.parse_batches(path, batch_reads, max_len, halo=k - 1):
-            hits = np.asarray(scan_batch(batch.codes, batch.lengths, phi, plo, k))
+        for batch in _iter_scan_batches(path, batch_reads, max_len, k,
+                                        wire_pack):
+            if wire_pack:
+                hits = np.asarray(scan_batch_wire(
+                    batch.wire[0], batch.wire[1], batch.lengths, phi, plo, k))
+            else:
+                hits = np.asarray(scan_batch(batch.codes, batch.lengths,
+                                             phi, plo, k))
             n = batch.n_reads
             agg.add(hits[:n], batch.record_ids[:n])
         results.append(agg.result())
@@ -114,14 +147,21 @@ def pulldown_paths_sharded(panel_keys: np.ndarray, sample_paths: list[str],
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
+    wire_pack = max_len % 8 == 0
     phi, plo, cap = shuffle.partition_panel(panel_keys, k, n_shards)
     step = shuffle.make_pulldown_step(mesh, k, reads_per_chip, max_len, cap,
-                                      capacity_factor=capacity_factor)
+                                      capacity_factor=capacity_factor,
+                                      wire=wire_pack)
     results = []
     for path in sample_paths:
         agg = RecordAggregator()
-        for batch in fastq.parse_batches(path, rtot, max_len, halo=k - 1):
-            row_hits, overflow = step(batch.codes, batch.lengths, phi, plo)
+        for batch in _iter_scan_batches(path, rtot, max_len, k, wire_pack):
+            if wire_pack:
+                row_hits, overflow = step(batch.wire[0], batch.wire[1],
+                                          batch.lengths, phi, plo)
+            else:
+                row_hits, overflow = step(batch.codes, batch.lengths,
+                                          phi, plo)
             if int(np.asarray(overflow).sum()) > 0:
                 raise ValueError(
                     "all-to-all bucket overflow in scan: raise "
