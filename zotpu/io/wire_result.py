@@ -1,0 +1,92 @@
+"""Device->host wire format for sorted (key, count) result sets.
+
+The final transfer of a kmerize run moves n x 12 B (u32 key hi, u32 key lo,
+u32 count); on hosts where the D2H link is slow (this rig: ~36-50 MB/s
+through the tunnel) a 33M-key result costs ~10 s -- the single largest item
+in the end-to-end tail. Keys are SORTED, so consecutive deltas of a k<=31
+canonical set (<= 62-bit keys) almost always fit u32 (mean gap at 33M keys
+over 2^50 is ~2^25), and counts almost always fit u16 (u8 would be 1 B
+cheaper but real WGS sets carry >8k distinct repeat k-mers with coverage
+>255, overflowing any reasonable exception table; >65535 is genuinely
+rare). This module transfers n x 6 B instead -- u32 key deltas + u16
+clamped counts -- plus a small fixed-capacity EXCEPTION table (position,
+true key, true count) covering the rare big-gap / big-count rows, and
+reconstructs exactly on the host. Encode is elementwise ops + one keys-only u32 sort (exception
+collection) on device; decode is one numpy cumsum + patches.
+
+Reference analog: none (zotmer is single-process; this is transport for the
+TPU runtime, like io/wire.py on the H2D side). No output byte depends on the
+wire layout -- decode is exact -- so it lives outside semantics.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EXC_CAP = 1 << 13     # exception-table capacity (8192 rows, 128 KB)
+MIN_KEYS = 1 << 20    # below ~1M keys the plain 12 B/key transfer is fine
+
+
+@functools.partial(jax.jit, static_argnames=("exc_cap",))
+def encode_device(hi, lo, cnt, exc_cap: int = EXC_CAP):
+    """Sorted (hi, lo, cnt) u32 arrays -> (delta32, cnt16, exc_pos, exc_hi,
+    exc_lo, exc_cnt, n_exc).
+
+    delta32[i] = key[i] - key[i-1] (key[-1] := 0) where that fits u32;
+    rows where it does not -- or where cnt > 65535 -- are exceptions, listed
+    by position with their true key and count. n_exc > exc_cap means the
+    encoding is unusable (caller falls back to the plain transfer).
+    Capacity padding (sentinel keys) contributes at most one exception at
+    the valid/pad boundary; callers slice [:n] before transfer.
+    """
+    n = hi.shape[0]
+    phi = jnp.concatenate([jnp.zeros(1, jnp.uint32), hi[:-1]])
+    plo = jnp.concatenate([jnp.zeros(1, jnp.uint32), lo[:-1]])
+    borrow = (lo < plo).astype(jnp.uint32)
+    dlo = lo - plo                      # wrapping u32
+    dhi = hi - phi - borrow
+    is_exc = (dhi != 0) | (cnt > 65535)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    skey = jnp.where(is_exc, pos, jnp.uint32(0xFFFFFFFF))
+    (skey,) = jax.lax.sort((skey,), num_keys=1)
+    exc_pos = skey[:exc_cap]
+    safe = jnp.minimum(exc_pos, jnp.uint32(n - 1)).astype(jnp.int32)
+    exc_hi = hi[safe]
+    exc_lo = lo[safe]
+    exc_cnt = cnt[safe]
+    n_exc = jnp.sum(is_exc.astype(jnp.int32))
+    cnt16 = jnp.minimum(cnt, 65535).astype(jnp.uint16)
+    return dlo, cnt16, exc_pos, exc_hi, exc_lo, exc_cnt, n_exc
+
+
+def decode_host(delta32, cnt16, exc_pos, exc_hi, exc_lo, exc_cnt,
+                n_exc: int, n: int):
+    """Exact inverse of encode_device for the first n rows (numpy).
+
+    Reconstruction: computed = cumsum(delta32) treats every delta as valid;
+    each exception j then shifts all following keys by
+    t_j = true_key_j - computed[pos_j] (the cumulative correction after
+    exception j telescopes to exactly t_j), applied as one diff + wrapping
+    u64 cumsum. Counts are patched directly.
+    """
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    computed = np.cumsum(delta32[:n], dtype=np.uint64)
+    counts = cnt16[:n].astype(np.uint32)
+    ep = np.asarray(exc_pos[:n_exc]).astype(np.int64)
+    keep = ep < n
+    ep = ep[keep]
+    if len(ep):
+        ekey = (np.asarray(exc_hi[:n_exc])[keep].astype(np.uint64)
+                << np.uint64(32)) | np.asarray(exc_lo[:n_exc])[keep]
+        t = ekey - computed[ep]          # wrapping u64
+        steps = np.diff(t, prepend=np.uint64(0))
+        corr = np.zeros(n, np.uint64)
+        corr[ep] = steps
+        computed = computed + np.cumsum(corr)   # wrapping u64
+        counts[ep] = np.asarray(exc_cnt[:n_exc])[keep]
+    return computed, counts
