@@ -74,6 +74,41 @@ def test_join_pallas_interpret_matches_xla():
     assert np.array_equal(rows_x, want_rows)
 
 
+def test_join_pallas_sentinel_probes_across_tiles():
+    """Regression: sentinel-KEY probes (invalid pack windows) carry real idx
+    payloads; with a 2-key merge network they tie with sentinel-masked window
+    slack and the kernel emitted slack rows in their place, duplicating some
+    idx and losing others (observed 40% idx-coverage loss). The 3-key network
+    (idx in the comparator) makes ties identical-row-only."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    n_rows, m_per_row = 128, 512          # m = 65536 = 2 tiles
+    m = n_rows * m_per_row
+    panel_keys = np.unique(rng.integers(0, 1 << 40, 9000).astype(np.uint64))
+    phi, plo = _panel(panel_keys, 16384)
+    qk = rng.integers(0, 1 << 40, m).astype(np.uint64)
+    qk[::5] = panel_keys[rng.integers(0, len(panel_keys), len(qk[::5]))]
+    sent = rng.random(m) < 0.4            # 40% invalid windows, scattered
+    qhi, qlo = S.split_hi_lo(qk)
+    qhi[sent] = 0xFFFFFFFF
+    qlo[sent] = 0xFFFFFFFF
+    phi_s, plo_s = J._transform_keys(jnp.asarray(phi), jnp.asarray(plo),
+                                     is_probe=False)
+    qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
+                                     is_probe=True)
+    idx = jnp.arange(m, dtype=jnp.uint32)
+    shi, slo, sidx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
+    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, sidx, m,
+                                 interpret=True)
+    # every probe idx must appear EXACTLY once in the merged stream
+    bk = np.sort(np.asarray(bkey_p)) >> 1
+    assert np.array_equal(np.unique(bk[bk < m]), np.arange(m))
+    rows_p = np.asarray(J._rowsum_by_idx(bkey_p, n_rows, m_per_row))
+    want = ((np.isin(qk, panel_keys) & ~sent)
+            .reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32))
+    assert np.array_equal(rows_p, want)
+
+
 def test_join_duplicate_queries_same_key():
     """Many queries equal to one panel key all count as hits."""
     import jax.numpy as jnp

@@ -129,8 +129,16 @@ def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
                           pad(qlo_s, MB, SENT32)])
     tag = jnp.concatenate([jnp.full(MA, n_probes, jnp.uint32),
                            pad(idx, MB, n_probes)])
+    # num_keys=3: the idx payload joins the comparator key. Sentinel-KEY
+    # probe rows (invalid pack windows) carry meaningful idx, and with a
+    # 2-key network they tie with sentinel-masked window slack -- the
+    # network may emit a slack row in their place, duplicating one idx and
+    # losing another (observed: 40% sentinel probes at 3 tiles corrupted
+    # 40% of idx coverage). Both sides are (key*, idx)-sorted: the panel's
+    # tag is constant and the probe fwd sort is lax.sort's default STABLE
+    # sort over ascending idx.
     hi, lo, tag = stream_merge_pair_pallas(hi, lo, tag, nA=MA,
-                                           interpret=interpret)
+                                           interpret=interpret, num_keys=3)
     _, bkey = _hits_from_merged_star(hi, lo, tag, n_probes)
     return bkey
 
@@ -178,8 +186,12 @@ def row_hits_sorted_join(phi, plo, qhi, qlo, n_rows: int, m_per_row: int):
     qhi_s, qlo_s = _transform_keys(qhi, qlo, is_probe=True)
     idx = jnp.arange(m, dtype=jnp.uint32)
     if use_pallas() and m >= (1 << 15):
-        # pre-sort queries (the dominant cost), then ONE streaming merge
-        qhi_s, qlo_s, idx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
+        # pre-sort queries (the dominant cost), then ONE streaming merge.
+        # STABILITY is load-bearing: _join_pallas_star's 3-key network needs
+        # the probe side sorted by (key*, idx), which the stable sort of
+        # ascending idx provides for free.
+        qhi_s, qlo_s, idx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2,
+                                         is_stable=True)
         bkey = _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
     else:
         bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)

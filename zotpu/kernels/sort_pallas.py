@@ -72,16 +72,22 @@ def _index_bit(shape, bit):
     return (row & (bit // LANES)) != 0
 
 
-def _compare_exchange(chans, s, ascending_mask):
+def _lex_less(a, b, num_keys):
+    """a < b lexicographically over the first num_keys channels."""
+    less = a[num_keys - 1] < b[num_keys - 1]
+    for i in range(num_keys - 2, -1, -1):
+        less = (a[i] < b[i]) | ((a[i] == b[i]) & less)
+    return less
+
+
+def _compare_exchange(chans, s, ascending_mask, num_keys=2):
     """One bitonic stage over channel tuple (hi, lo[, pay...]): exchange with
-    partner i^s according to direction."""
-    hi, lo = chans[0], chans[1]
+    partner i^s according to direction. The first num_keys channels form the
+    lexicographic sort key; the rest ride unselected-on."""
     partners = tuple(_xor_shuffle(c, s) for c in chans)
-    phi, plo = partners[0], partners[1]
-    # partner < self in lexicographic (hi, lo) order?
-    p_less = (phi < hi) | ((phi == hi) & (plo < lo))
-    p_greater = (phi > hi) | ((phi == hi) & (plo > lo))
-    i_is_low = ~_index_bit(hi.shape, s)   # i < i^s
+    p_less = _lex_less(partners, chans, num_keys)
+    p_greater = _lex_less(chans, partners, num_keys)
+    i_is_low = ~_index_bit(chans[0].shape, s)   # i < i^s
     # ascending & low slot -> keep min; descending & low slot -> keep max.
     # (no jnp.where on bool operands: Mosaic can't truncate i8 vectors to i1)
     want_min = ~(ascending_mask ^ i_is_low)
@@ -90,13 +96,13 @@ def _compare_exchange(chans, s, ascending_mask):
                  for pc, c in zip(partners, chans))
 
 
-def _bitonic_merge_block(chans, n):
+def _bitonic_merge_block(chans, n, num_keys=2):
     """Merge step only: input is two sorted halves, second half DESCENDING
     overall bitonic; cleans into fully ascending order."""
     s = n // 2
     asc = jnp.ones(chans[0].shape, bool)
     while s >= 1:
-        chans = _compare_exchange(chans, s, asc)
+        chans = _compare_exchange(chans, s, asc, num_keys)
         s //= 2
     return chans
 
@@ -179,7 +185,7 @@ def _flat_rot_dyn(v, rot):
     return v
 
 
-def _make_stream_kernel(nch):
+def _make_stream_kernel(nch, num_keys=2):
     def kernel(scal_ref, *refs):
         ins = refs[:nch]                      # HBM channel arrays
         outs = refs[nch:2 * nch]              # VMEM output tiles
@@ -213,8 +219,15 @@ def _make_stream_kernel(nch):
             row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
             live = row * LANES + lane < cnt
-            chans = (jnp.where(live, chans[0], SENT),
-                     jnp.where(live, chans[1], SENT)) + chans[2:]
+            # Mask every KEY channel of non-live window slack to SENT. With
+            # num_keys=2 slack ties with live sentinel-key rows and the
+            # network may emit a slack row in their place -- harmless when
+            # all sentinel rows are downstream-dropped (set ops), but fatal
+            # when payloads of sentinel-key rows are meaningful (the join's
+            # probe indices). num_keys=3 makes the tag part of the key, so
+            # ties exist only between identical triples.
+            chans = tuple(jnp.where(live, c, SENT) if i < num_keys else c
+                          for i, c in enumerate(chans))
             if reverse:
                 chans = tuple(_flip_all(c) for c in chans)
             return chans
@@ -223,7 +236,7 @@ def _make_stream_kernel(nch):
         b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
         cand = tuple(jnp.concatenate([a, b], axis=0)
                      for a, b in zip(a_chans, b_chans))
-        cand = _bitonic_merge_block(cand, 2 * TILE_E)
+        cand = _bitonic_merge_block(cand, 2 * TILE_E, num_keys)
         for o, c in zip(outs, cand):
             o[:] = c[:TILE_R]
     return kernel
@@ -330,13 +343,22 @@ def _pair_partition(hi, lo, nA: int, nB: int):
     return a0
 
 
-@functools.partial(jax.jit, static_argnames=("nA", "interpret"))
-def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("nA", "interpret", "num_keys"))
+def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False,
+                             num_keys: int = 2):
     """Merge ONE pair of sorted runs A = [:nA], B = [nA:] of UNEQUAL static
     lengths (both multiples of TILE_E) into a fully sorted array.
 
     Same kernel as stream_merge_pass_pallas; only the XLA-side merge-path
     partition differs. pay may be None, one u32 array, or a tuple.
+
+    num_keys=3 makes the first payload channel part of the comparator key
+    (both sides must then be sorted by the (hi, lo, pay[0]) triple). Use it
+    whenever sentinel-KEY rows carry meaningful payload: with 2 keys, window
+    slack (masked to sentinel) ties with live sentinel-key rows and the
+    network may swap one in, dropping a live row's payload from the output
+    tile (the merge-path windows are exact, so every live row the current
+    tile drops is also outside every other tile's window).
     """
     n = hi.shape[0]
     nB = n - nA
@@ -362,7 +384,8 @@ def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False):
     pays = (() if pay is None
             else tuple(pay) if isinstance(pay, (tuple, list)) else (pay,))
     chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
-    chans += [pad(p, jnp.uint32(0)) for p in pays]
+    chans += [pad(p, jnp.uint32(0xFFFFFFFF if 2 + i < num_keys else 0))
+              for i, p in enumerate(pays)]
     nch = len(chans)
 
     out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
@@ -377,7 +400,7 @@ def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False):
         ] + [pltpu.SemaphoreType.DMA((2 * nch,))],
     )
     out = pl.pallas_call(
-        _make_stream_kernel(nch),
+        _make_stream_kernel(nch, num_keys),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * nch,
         interpret=interpret,
