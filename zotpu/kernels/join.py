@@ -109,11 +109,23 @@ def _hits_from_merged(hi, lo, tag):
 def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
                       interpret: bool = False):
     """TPU path: one streaming bitonic-merge pass over the key*-transformed
-    [panel | queries] (no cross-side ties by construction), then the
-    single-cummax hit scan. Inputs already transformed; queries sorted by
-    key* with idx payload. Returns bkey (see _hits_from_merged_star)."""
+    [panel | queries] (no cross-side ties by construction) with the hit bit
+    computed in the kernel epilogue (sort_pallas.stream_join_pair_pallas) --
+    no separate XLA hit-scan pass and one output channel instead of three.
+    Inputs already transformed; queries sorted by key* with idx payload.
+    Returns bkey (see _hits_from_merged_star, the XLA formulation of the
+    same rule).
+
+    The merge comparator is 3-key (key*, idx): sentinel-KEY probe rows
+    (invalid pack windows) carry meaningful idx, and with a 2-key network
+    they tie with sentinel-masked window slack -- the network may emit a
+    slack row in their place, duplicating one idx and losing another
+    (observed: 40% sentinel probes at 3 tiles corrupted 40% of idx
+    coverage). Both sides are (key*, idx)-sorted: the panel's tag is
+    constant and the probe fwd sort is lax.sort's default STABLE sort over
+    ascending idx."""
     from zotpu.kernels.setops_merge import _next_pow2
-    from zotpu.kernels.sort_pallas import TILE_E, stream_merge_pair_pallas
+    from zotpu.kernels.sort_pallas import TILE_E, stream_join_pair_pallas
 
     MA = max(_next_pow2(phi_s.shape[0]), TILE_E)
     MB = max(_next_pow2(qhi_s.shape[0]), TILE_E)
@@ -129,18 +141,8 @@ def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
                           pad(qlo_s, MB, SENT32)])
     tag = jnp.concatenate([jnp.full(MA, n_probes, jnp.uint32),
                            pad(idx, MB, n_probes)])
-    # num_keys=3: the idx payload joins the comparator key. Sentinel-KEY
-    # probe rows (invalid pack windows) carry meaningful idx, and with a
-    # 2-key network they tie with sentinel-masked window slack -- the
-    # network may emit a slack row in their place, duplicating one idx and
-    # losing another (observed: 40% sentinel probes at 3 tiles corrupted
-    # 40% of idx coverage). Both sides are (key*, idx)-sorted: the panel's
-    # tag is constant and the probe fwd sort is lax.sort's default STABLE
-    # sort over ascending idx.
-    hi, lo, tag = stream_merge_pair_pallas(hi, lo, tag, nA=MA,
-                                           interpret=interpret, num_keys=3)
-    _, bkey = _hits_from_merged_star(hi, lo, tag, n_probes)
-    return bkey
+    return stream_join_pair_pallas(hi, lo, tag, nA=MA, n_probes=n_probes,
+                                   interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("n_probes",))

@@ -415,3 +415,193 @@ def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 0).bit_length()
 
 
+# ---------------------------------------------------------------------------
+# Fused membership-join merge (kernels/join.py): the same streaming pair
+# merge as stream_merge_pair_pallas(num_keys=3), but instead of writing the
+# merged (hi*, lo*, idx) stream for a separate XLA hit-scan pass, the kernel
+# epilogue computes each element's panel-hit bit IN-KERNEL and writes ONE
+# channel: bkey = min(idx, n_probes)*2 + hit. The hit rule (join.py): an
+# element is a hit iff the FIRST element of its equal-key segment is a panel
+# row, which key* construction guarantees when a panel row exists. That is a
+# segment-first LATCH = running max of (pos*2 + is_panel) over segment
+# firsts; the TPU grid is sequential, so the cross-tile state (previous
+# element's key and the running lead) carries in SMEM.
+# ---------------------------------------------------------------------------
+
+
+def _flat_cummax_i32(v):
+    """Inclusive running max over the row-major flat order of an (R, 128)
+    i32 tile: a lane-axis scan, then row totals scanned over the row axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    s = 1
+    while s < LANES:
+        sh = pltpu.roll(v, shift=s, axis=1)
+        v = jnp.where(lane >= s, jnp.maximum(v, sh), v)
+        s *= 2
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    t = jnp.broadcast_to(jnp.max(v, axis=1, keepdims=True), v.shape)
+    s = 1
+    while s < v.shape[0]:
+        sh = pltpu.roll(t, shift=s, axis=0)
+        t = jnp.where(row >= s, jnp.maximum(t, sh), t)
+        s *= 2
+    prev_rows = pltpu.roll(t, shift=1, axis=0)
+    return jnp.where(row >= 1, jnp.maximum(v, prev_rows), v)
+
+
+def _extract_u32(mask, v):
+    """Scalar v at the single True position of mask (else 0); Mosaic has no
+    unsigned reductions, so bitcast to i32 and sum (one non-zero term)."""
+    m = jnp.where(mask, v, jnp.zeros_like(v))
+    s = jnp.sum(jax.lax.bitcast_convert_type(m, jnp.int32), dtype=jnp.int32)
+    return s.astype(jnp.uint32)
+
+
+def _make_join_stream_kernel(n_probes: int):
+    nch = 3          # hi*, lo*, idx -- all three comparator keys (join fix)
+
+    def kernel(scal_ref, *refs):
+        ins = refs[:nch]
+        out = refs[nch]
+        wins = refs[nch + 1:nch + 1 + 2 * nch]
+        sems = refs[nch + 1 + 2 * nch]
+        ckey = refs[-2]          # SMEM (2,) u32: prev element's hi*, lo*>>1
+        clead = refs[-1]         # SMEM (1,) i32: running lead
+        t = pl.program_id(0)
+        SENT = jnp.uint32(0xFFFFFFFF)
+
+        @pl.when(t == 0)
+        def _init():
+            # any value works for ckey as long as a first VALID element
+            # differs (valid keys have hi* < 2^31); if element 0 is a
+            # sentinel pad, f=0 keeps lead=-1 whose probe hits are masked
+            # by valid anyway.
+            ckey[0] = SENT
+            ckey[1] = jnp.uint32(0x7FFFFFFF)
+            clead[0] = jnp.int32(-1)
+
+        a_row0 = scal_ref[0, t]
+        b_row0 = scal_ref[1, t]
+        a_rot = scal_ref[2, t]
+        b_rot = scal_ref[3, t]
+        a_cnt = scal_ref[4, t]
+        b_cnt = scal_ref[5, t]
+
+        copies = []
+        for i in range(nch):
+            c = pltpu.make_async_copy(ins[i].at[pl.ds(a_row0, LOAD_R), :],
+                                      wins[i], sems.at[i])
+            c.start()
+            copies.append(c)
+            c = pltpu.make_async_copy(ins[i].at[pl.ds(b_row0, LOAD_R), :],
+                                      wins[nch + i], sems.at[nch + i])
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+
+        def prep(chans, rot, cnt, reverse):
+            chans = _flat_rot_dyn(chans, rot)
+            chans = tuple(c[:TILE_R] for c in chans)
+            row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
+            live = row * LANES + lane < cnt
+            chans = tuple(jnp.where(live, c, SENT) for c in chans)
+            if reverse:
+                chans = tuple(_flip_all(c) for c in chans)
+            return chans
+
+        a_chans = prep(tuple(w[:] for w in wins[:nch]), a_rot, a_cnt, False)
+        b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
+        cand = tuple(jnp.concatenate([a, b], axis=0)
+                     for a, b in zip(a_chans, b_chans))
+        cand = _bitonic_merge_block(cand, 2 * TILE_E, num_keys=3)
+
+        hi_o = cand[0][:TILE_R]
+        lo_o = cand[1][:TILE_R]
+        tag_o = cand[2][:TILE_R]
+        klo = lo_o >> 1                       # key equality drops the side bit
+        is_probe = (lo_o & jnp.uint32(1)) == 1
+        row = jax.lax.broadcasted_iota(jnp.int32, hi_o.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, hi_o.shape, 1)
+
+        def prev_elem(v, fill0):
+            a = pltpu.roll(v, shift=1, axis=1)          # (r, c-1); c=0 wraps
+            b = pltpu.roll(a, shift=1, axis=0)          # (r-1, 127) at c=0
+            p = jnp.where(lane == 0, b, a)
+            return jnp.where((row == 0) & (lane == 0), fill0, p)
+
+        phi_ = prev_elem(hi_o, ckey[0])
+        pkl_ = prev_elem(klo, ckey[1])
+        f = (hi_o != phi_) | (klo != pkl_)
+        pos = t * TILE_E + row * LANES + lane
+        leadv = jnp.where(f & ~is_probe, pos * 2 + 1,
+                          jnp.where(f, pos * 2, -1))
+        lead = jnp.maximum(_flat_cummax_i32(leadv), clead[0])
+        valid = hi_o < jnp.uint32(0x80000000)
+        hit = is_probe & ((lead & 1) == 1) & valid
+        # clamp via compare+select: Mosaic has no unsigned vector min
+        # (arith.minui fails to legalize)
+        np_u = jnp.uint32(n_probes)
+        tag_c = jnp.where(tag_o > np_u, np_u, tag_o)
+        out[:] = (tag_c << 1) | hit.astype(jnp.uint32)
+
+        lastm = (row == TILE_R - 1) & (lane == LANES - 1)
+        ckey[0] = _extract_u32(lastm, hi_o)
+        ckey[1] = _extract_u32(lastm, klo)
+        clead[0] = jnp.max(lead)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nA", "n_probes", "interpret"))
+def stream_join_pair_pallas(hi, lo, tag, nA: int, n_probes: int,
+                            interpret: bool = False):
+    """Fused merge+hit for the membership join: A = [:nA] the transformed
+    panel, B = [nA:] the (key*, idx)-sorted transformed probes (both
+    multiples of TILE_E). Returns bkey = min(idx, n_probes)*2 + hit per
+    merged element, ready for kernels/join._rowsum_by_idx."""
+    n = hi.shape[0]
+    nB = n - nA
+    ntiles = n // TILE_E
+    a0 = _pair_partition(hi, lo, nA, nB)
+    a1 = jnp.concatenate([a0[1:], jnp.full((1,), nA, a0.dtype)])
+    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    gb0 = nA + b0
+    scal = jnp.stack([
+        a0 // LANES, gb0 // LANES, a0 % LANES, gb0 % LANES,
+        a1 - a0, b1 - b0,
+    ]).astype(jnp.int32)
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x.reshape(-1, LANES),
+             jnp.full((LOAD_R, LANES), fill, x.dtype)])
+
+    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)),
+             pad(lo, jnp.uint32(0xFFFFFFFF)),
+             pad(tag, jnp.uint32(0xFFFFFFFF))]
+
+    out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(6)
+        ] + [pltpu.SemaphoreType.DMA((6,)),
+             pltpu.SMEM((2,), jnp.uint32),
+             pltpu.SMEM((1,), jnp.int32)],
+    )
+    (out,) = pl.pallas_call(
+        _make_join_stream_kernel(n_probes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(scal, *chans)
+    return out.reshape(-1)
