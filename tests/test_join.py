@@ -61,11 +61,11 @@ def test_join_pallas_interpret_matches_xla():
                                      is_probe=False)
     qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
                                      is_probe=True)
-    idx = jnp.arange(m, dtype=jnp.uint32)
-    shi, slo, sidx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
-    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, sidx, m,
+    tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
+    shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2)
+    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, stag, n_rows,
                                  interpret=True)
-    bkey_x = J._join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
+    bkey_x = J._join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
     rows_p = np.asarray(J._rowsum_by_idx(bkey_p, n_rows, m_per_row))
     rows_x = np.asarray(J._rowsum_by_idx(bkey_x, n_rows, m_per_row))
     assert np.array_equal(rows_p, rows_x)
@@ -75,11 +75,12 @@ def test_join_pallas_interpret_matches_xla():
 
 
 def test_join_pallas_sentinel_probes_across_tiles():
-    """Regression: sentinel-KEY probes (invalid pack windows) carry real idx
-    payloads; with a 2-key merge network they tie with sentinel-masked window
-    slack and the kernel emitted slack rows in their place, duplicating some
-    idx and losing others (observed 40% idx-coverage loss). The 3-key network
-    (idx in the comparator) makes ties identical-row-only."""
+    """Regression: sentinel-KEY probes (invalid pack windows) carry real
+    row tags; with a 2-key merge network they tie with sentinel-masked
+    window slack and the kernel emitted slack rows in their place,
+    duplicating some tags and losing others (observed 40% idx-coverage loss
+    when tags were probe indices). The 3-key network (tag in the
+    comparator) makes ties identical-row-only."""
     import jax.numpy as jnp
     rng = np.random.default_rng(11)
     n_rows, m_per_row = 128, 512          # m = 65536 = 2 tiles
@@ -96,17 +97,39 @@ def test_join_pallas_sentinel_probes_across_tiles():
                                      is_probe=False)
     qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
                                      is_probe=True)
-    idx = jnp.arange(m, dtype=jnp.uint32)
-    shi, slo, sidx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2)
-    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, sidx, m,
+    tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
+    shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2)
+    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, stag, n_rows,
                                  interpret=True)
-    # every probe idx must appear EXACTLY once in the merged stream
-    bk = np.sort(np.asarray(bkey_p)) >> 1
-    assert np.array_equal(np.unique(bk[bk < m]), np.arange(m))
+    # every probe ROW must appear EXACTLY m_per_row times in the stream
+    bk = np.asarray(bkey_p) >> 1
+    counts = np.bincount(bk[bk < n_rows], minlength=n_rows)
+    assert np.array_equal(counts, np.full(n_rows, m_per_row))
     rows_p = np.asarray(J._rowsum_by_idx(bkey_p, n_rows, m_per_row))
     want = ((np.isin(qk, panel_keys) & ~sent)
             .reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32))
     assert np.array_equal(rows_p, want)
+
+
+@pytest.mark.parametrize("n_rows", [1000, 40_000])  # u16 path / u32 path
+def test_rowsum_by_idx_dtype_paths(n_rows):
+    """row*2+hit backward sort: u16 keys when 2*n_rows+1 < 2^16, u32 above;
+    both must aggregate identically."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n_rows)
+    m_per_row = 4
+    m = n_rows * m_per_row
+    rows = np.repeat(np.arange(n_rows, dtype=np.uint32), m_per_row)
+    hits = (rng.random(m) < 0.3).astype(np.uint32)
+    bkey = (rows << 1) | hits
+    # shuffle + append panel/pad entries (tag = n_rows), as the merge emits
+    perm = rng.permutation(m)
+    padded = np.concatenate([bkey[perm],
+                             np.full(513, 2 * n_rows, np.uint32)])
+    got = np.asarray(J._rowsum_by_idx(jnp.asarray(padded), n_rows,
+                                      m_per_row))
+    want = hits.reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32)
+    assert np.array_equal(got, want)
 
 
 def test_join_duplicate_queries_same_key():

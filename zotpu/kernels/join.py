@@ -12,14 +12,15 @@ paid FOUR full-width lax.sorts per batch; profiled 53 Mkmer/s):
    (hi, lo) u32 pair since hi < 2^31): the tie-break rides INSIDE the key,
    so even an unstable bitonic merge lands the panel row FIRST in its
    equal-key segment -- no bidirectional segment scans needed;
-2. sort queries by key*, carrying the flat probe index as payload;
+2. sort queries by key*, carrying the probe's ROW id as payload;
 3. ONE streaming merge pass against the sorted (transformed) panel;
 4. hit bits via two cummax scans (previous-panel-position vs segment
    start);
-5. per-row counts: ONE keys-only u32 sort of ``idx*2 + hit`` restores
-   probe order (panel rows carry idx = n_probes and sink to the tail),
-   then a reshape row-sum -- replacing the round-2.0 tag-sort +
-   flag-sort-compaction pair of full-width sorts.
+5. per-row counts: ONE keys-only sort of ``row*2 + hit`` groups each
+   row's m_per_row entries contiguously in row order (panel/pad rows
+   carry row = n_rows and sink to the tail), then a reshape row-sum --
+   replacing the round-2.0 tag-sort + flag-sort-compaction pair of
+   full-width sorts; u16 keys when n_rows allows.
 
 Everything is sorts, scans, and one Pallas merge pass -- the primitives this
 codebase already runs at full VPU rate.
@@ -47,14 +48,15 @@ def _transform_keys(hi, lo, is_probe: bool):
     return (hi << 1) | (lo >> 31), (lo << 1) | b
 
 
-def _hits_from_merged_star(hi_s, lo_s, idx, n_probes: int):
-    """Per-element hit bits from a key*-merged stream.
+def _hits_from_merged_star(hi_s, lo_s, tag, tag_pad: int):
+    """Per-element hit bits from a key*-merged stream (XLA path).
 
     A panel row is the FIRST element of its segment by construction (panel
     keys are unique and key* makes the side bit the lowest key bit), so
     hit(probe) = "my segment's first element is a panel row" -- ONE cummax
-    propagating (pos*2 + is_panel) from segment firsts. Returns (hit, bkey)
-    where bkey = min(idx, n_probes)*2 + hit is the backward-sort key."""
+    propagating (pos*2 + is_panel) from segment firsts. tag is the probe's
+    ROW id (panel/pad rows carry tag_pad = n_rows); returns (hit, bkey)
+    where bkey = min(tag, tag_pad)*2 + hit is the backward-sort key."""
     n = hi_s.shape[0]
     is_probe = (lo_s & 1) == 1
     klo = lo_s >> 1                      # key equality = (hi_s, lo_s >> 1)
@@ -65,20 +67,25 @@ def _hits_from_merged_star(hi_s, lo_s, idx, n_probes: int):
     lead = jax.lax.cummax(lead, axis=0)
     valid = hi_s < jnp.uint32(0x80000000)   # real keys only (see transform)
     hit = is_probe & ((lead & 1) == 1) & valid
-    bkey = (jnp.minimum(idx, jnp.uint32(n_probes)) << 1) | hit.astype(
+    bkey = (jnp.minimum(tag, jnp.uint32(tag_pad)) << 1) | hit.astype(
         jnp.uint32)
     return hit, bkey
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "m_per_row"))
 def _rowsum_by_idx(bkey, n_rows: int, m_per_row: int):
-    """One keys-only u32 sort of idx*2+hit: probes (idx < n_probes, each idx
-    exactly once) come back in original order with their hit bit in the LSB;
-    panel/pad rows (idx == n_probes) sink to the tail. Then a reshape
-    row-sum. Replaces two full-width payload sorts (round-2.0 shape)."""
+    """One keys-only sort of row*2+hit: each probe row id appears exactly
+    m_per_row times (once per window), so after the sort row r's entries
+    occupy [r*m_per_row, (r+1)*m_per_row) with the hit bit in the LSB;
+    panel/pad rows (tag == n_rows) sink to the tail. Then a reshape
+    row-sum. Row-granularity tags (round 2.2, replacing probe-idx tags)
+    keep the same reshape trick but fit u16 for n_rows <= 32766 -- a u16
+    keys-only lax.sort runs 0.331 vs u32's 0.279 Gkeys/s on TPU v5e."""
     m = n_rows * m_per_row
+    if 2 * n_rows + 1 < (1 << 16):
+        bkey = bkey.astype(jnp.uint16)
     (bkey,) = jax.lax.sort((bkey,), num_keys=1)
-    hits = (bkey[:m] & jnp.uint32(1)).astype(jnp.int32)
+    hits = (bkey[:m] & bkey.dtype.type(1)).astype(jnp.int32)
     return hits.reshape(n_rows, m_per_row).sum(axis=1, dtype=jnp.int32)
 
 
@@ -105,25 +112,27 @@ def _hits_from_merged(hi, lo, tag):
     return (tag > 0) & in_segment & valid
 
 
-@functools.partial(jax.jit, static_argnames=("n_probes", "interpret"))
-def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
+@functools.partial(jax.jit, static_argnames=("n_tag", "interpret"))
+def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_tag: int,
                       interpret: bool = False):
     """TPU path: one streaming bitonic-merge pass over the key*-transformed
     [panel | queries] (no cross-side ties by construction) with the hit bit
     computed in the kernel epilogue (sort_pallas.stream_join_pair_pallas) --
     no separate XLA hit-scan pass and one output channel instead of three.
-    Inputs already transformed; queries sorted by key* with idx payload.
-    Returns bkey (see _hits_from_merged_star, the XLA formulation of the
-    same rule).
+    Inputs already transformed; queries sorted by key* with a ROW-id tag
+    payload (pads carry n_tag = n_rows). Returns bkey (see
+    _hits_from_merged_star, the XLA formulation of the same rule).
 
-    The merge comparator is 3-key (key*, idx): sentinel-KEY probe rows
-    (invalid pack windows) carry meaningful idx, and with a 2-key network
+    The merge comparator is 3-key (key*, tag): sentinel-KEY probe rows
+    (invalid pack windows) carry meaningful tags, and with a 2-key network
     they tie with sentinel-masked window slack -- the network may emit a
-    slack row in their place, duplicating one idx and losing another
+    slack row in their place, duplicating one tag and losing another
     (observed: 40% sentinel probes at 3 tiles corrupted 40% of idx
-    coverage). Both sides are (key*, idx)-sorted: the panel's tag is
-    constant and the probe fwd sort is lax.sort's default STABLE sort over
-    ascending idx."""
+    coverage when tags were probe indices). Both sides are
+    (key*, tag)-sorted: the panel's tag is constant and the probe fwd sort
+    is lax.sort's default STABLE sort over non-decreasing row ids. Rows
+    with identical (key*, tag) triples may still tie, but identical rows
+    produce identical bkey, so any resolution is byte-equal."""
     from zotpu.kernels.setops_merge import _next_pow2
     from zotpu.kernels.sort_pallas import TILE_E, stream_join_pair_pallas
 
@@ -135,26 +144,26 @@ def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int,
                                             jnp.uint32)])
 
     # pads keep each side sorted: hi* = SENT32 > any valid hi* (< 2^31);
-    # panel pads keep the panel side bit (lo* even), probe pads idx=n_probes
+    # panel pads keep the panel side bit (lo* even), probe pads tag=n_tag
     hi = jnp.concatenate([pad(phi_s, MA, SENT32), pad(qhi_s, MB, SENT32)])
     lo = jnp.concatenate([pad(plo_s, MA, 0xFFFFFFFE),
                           pad(qlo_s, MB, SENT32)])
-    tag = jnp.concatenate([jnp.full(MA, n_probes, jnp.uint32),
-                           pad(idx, MB, n_probes)])
-    return stream_join_pair_pallas(hi, lo, tag, nA=MA, n_probes=n_probes,
+    tags = jnp.concatenate([jnp.full(MA, n_tag, jnp.uint32),
+                            pad(tag, MB, n_tag)])
+    return stream_join_pair_pallas(hi, lo, tags, nA=MA, n_tag=n_tag,
                                    interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("n_probes",))
-def _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, n_probes: int):
+@functools.partial(jax.jit, static_argnames=("n_tag",))
+def _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_tag: int):
     """Portable path: concat + 2-key lax.sort of the key*-transformed rows
     (the side bit lives in the key, so no third sort channel is needed)."""
     hi = jnp.concatenate([phi_s, qhi_s])
     lo = jnp.concatenate([plo_s, qlo_s])
-    tag = jnp.concatenate([jnp.full(phi_s.shape[0], n_probes, jnp.uint32),
-                           idx])
-    hi, lo, tag = jax.lax.sort((hi, lo, tag), num_keys=2)
-    _, bkey = _hits_from_merged_star(hi, lo, tag, n_probes)
+    tags = jnp.concatenate([jnp.full(phi_s.shape[0], n_tag, jnp.uint32),
+                            tag])
+    hi, lo, tags = jax.lax.sort((hi, lo, tags), num_keys=2)
+    _, bkey = _hits_from_merged_star(hi, lo, tags, n_tag)
     return bkey
 
 
@@ -181,20 +190,23 @@ def row_hits_sorted_join(phi, plo, qhi, qlo, n_rows: int, m_per_row: int):
     m = qhi.shape[0]
     if n_rows * m_per_row != m:
         raise ValueError(f"query length {m} != {n_rows} x {m_per_row}")
-    if m >= 1 << 30:
-        raise ValueError(f"batch of {m} probes exceeds the 2^30 idx*2+hit "
-                         f"key budget; split the batch")
+    if n_rows >= 1 << 30:
+        raise ValueError(f"batch of {n_rows} rows exceeds the 2^30 "
+                         f"row*2+hit key budget; split the batch")
     phi_s, plo_s = _transform_keys(phi, plo, is_probe=False)
     qhi_s, qlo_s = _transform_keys(qhi, qlo, is_probe=True)
-    idx = jnp.arange(m, dtype=jnp.uint32)
+    # tags are ROW ids (probe position granularity is never consumed --
+    # the output is per-row counts -- and row-granularity bkeys fit u16
+    # for typical batch sizes, a cheaper backward sort)
+    tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
     if use_pallas() and m >= (1 << 15):
         # pre-sort queries (the dominant cost), then ONE streaming merge.
         # STABILITY is load-bearing: _join_pallas_star's 3-key network needs
-        # the probe side sorted by (key*, idx), which the stable sort of
-        # ascending idx provides for free.
-        qhi_s, qlo_s, idx = jax.lax.sort((qhi_s, qlo_s, idx), num_keys=2,
+        # the probe side sorted by (key*, tag), which the stable sort of
+        # non-decreasing row ids provides for free.
+        qhi_s, qlo_s, tag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2,
                                          is_stable=True)
-        bkey = _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
+        bkey = _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
     else:
-        bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, idx, m)
+        bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
     return _rowsum_by_idx(bkey, n_rows, m_per_row)

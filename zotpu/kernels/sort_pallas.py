@@ -420,7 +420,7 @@ def _next_pow2(x: int) -> int:
 # merge as stream_merge_pair_pallas(num_keys=3), but instead of writing the
 # merged (hi*, lo*, idx) stream for a separate XLA hit-scan pass, the kernel
 # epilogue computes each element's panel-hit bit IN-KERNEL and writes ONE
-# channel: bkey = min(idx, n_probes)*2 + hit. The hit rule (join.py): an
+# channel: bkey = min(tag, n_tag)*2 + hit (tag = probe ROW id). The hit rule (join.py): an
 # element is a hit iff the FIRST element of its equal-key segment is a panel
 # row, which key* construction guarantees when a panel row exists. That is a
 # segment-first LATCH = running max of (pos*2 + is_panel) over segment
@@ -457,7 +457,7 @@ def _extract_u32(mask, v):
     return s.astype(jnp.uint32)
 
 
-def _make_join_stream_kernel(n_probes: int):
+def _make_join_stream_kernel(n_tag: int):
     nch = 3          # hi*, lo*, idx -- all three comparator keys (join fix)
 
     def kernel(scal_ref, *refs):
@@ -542,7 +542,7 @@ def _make_join_stream_kernel(n_probes: int):
         hit = is_probe & ((lead & 1) == 1) & valid
         # clamp via compare+select: Mosaic has no unsigned vector min
         # (arith.minui fails to legalize)
-        np_u = jnp.uint32(n_probes)
+        np_u = jnp.uint32(n_tag)
         tag_c = jnp.where(tag_o > np_u, np_u, tag_o)
         out[:] = (tag_c << 1) | hit.astype(jnp.uint32)
 
@@ -555,12 +555,12 @@ def _make_join_stream_kernel(n_probes: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nA", "n_probes", "interpret"))
-def stream_join_pair_pallas(hi, lo, tag, nA: int, n_probes: int,
+                   static_argnames=("nA", "n_tag", "interpret"))
+def stream_join_pair_pallas(hi, lo, tag, nA: int, n_tag: int,
                             interpret: bool = False):
     """Fused merge+hit for the membership join: A = [:nA] the transformed
-    panel, B = [nA:] the (key*, idx)-sorted transformed probes (both
-    multiples of TILE_E). Returns bkey = min(idx, n_probes)*2 + hit per
+    panel, B = [nA:] the (key*, tag)-sorted transformed probes (both
+    multiples of TILE_E). Returns bkey = min(tag, n_tag)*2 + hit per
     merged element, ready for kernels/join._rowsum_by_idx."""
     n = hi.shape[0]
     nB = n - nA
@@ -599,7 +599,7 @@ def stream_join_pair_pallas(hi, lo, tag, nA: int, n_probes: int,
              pltpu.SMEM((1,), jnp.int32)],
     )
     (out,) = pl.pallas_call(
-        _make_join_stream_kernel(n_probes),
+        _make_join_stream_kernel(n_tag),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)],
         interpret=interpret,
