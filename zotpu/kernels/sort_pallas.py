@@ -185,58 +185,66 @@ def _flat_rot_dyn(v, rot):
     return v
 
 
+def _merged_tile(scal_ref, ins, wins, sems, nch, num_keys):
+    """Shared kernel body: DMA both sides' windows for this grid step,
+    align/mask/reverse them, and run one bitonic merge over 2*TILE_E
+    candidates. Returns the merged channel tuple (output = [:TILE_R]).
+
+    Masking covers every KEY channel of non-live window slack with SENT.
+    With num_keys=2 slack ties with live sentinel-key rows and the network
+    may emit a slack row in their place -- harmless when all sentinel rows
+    are downstream-dropped (set ops), but fatal when payloads of
+    sentinel-key rows are meaningful (the join's row tags). num_keys=3
+    makes the tag part of the key, so ties exist only between identical
+    triples."""
+    t = pl.program_id(0)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    a_row0 = scal_ref[0, t]
+    b_row0 = scal_ref[1, t]
+    a_rot = scal_ref[2, t]
+    b_rot = scal_ref[3, t]
+    a_cnt = scal_ref[4, t]
+    b_cnt = scal_ref[5, t]
+
+    copies = []
+    for i in range(nch):
+        c = pltpu.make_async_copy(ins[i].at[pl.ds(a_row0, LOAD_R), :],
+                                  wins[i], sems.at[i])
+        c.start()
+        copies.append(c)
+        c = pltpu.make_async_copy(ins[i].at[pl.ds(b_row0, LOAD_R), :],
+                                  wins[nch + i], sems.at[nch + i])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    def prep(chans, rot, cnt, reverse):
+        chans = _flat_rot_dyn(chans, rot)
+        chans = tuple(c[:TILE_R] for c in chans)
+        row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
+        live = row * LANES + lane < cnt
+        chans = tuple(jnp.where(live, c, SENT) if i < num_keys else c
+                      for i, c in enumerate(chans))
+        if reverse:
+            chans = tuple(_flip_all(c) for c in chans)
+        return chans
+
+    a_chans = prep(tuple(w[:] for w in wins[:nch]), a_rot, a_cnt, False)
+    b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
+    cand = tuple(jnp.concatenate([a, b], axis=0)
+                 for a, b in zip(a_chans, b_chans))
+    return _bitonic_merge_block(cand, 2 * TILE_E, num_keys)
+
+
 def _make_stream_kernel(nch, num_keys=2):
     def kernel(scal_ref, *refs):
         ins = refs[:nch]                      # HBM channel arrays
         outs = refs[nch:2 * nch]              # VMEM output tiles
         wins = refs[2 * nch:4 * nch]          # scratch windows (A side, B side)
         sems = refs[4 * nch]
-        t = pl.program_id(0)
-        SENT = jnp.uint32(0xFFFFFFFF)
-        a_row0 = scal_ref[0, t]
-        b_row0 = scal_ref[1, t]
-        a_rot = scal_ref[2, t]
-        b_rot = scal_ref[3, t]
-        a_cnt = scal_ref[4, t]
-        b_cnt = scal_ref[5, t]
-
-        copies = []
-        for i in range(nch):
-            c = pltpu.make_async_copy(ins[i].at[pl.ds(a_row0, LOAD_R), :],
-                                      wins[i], sems.at[i])
-            c.start()
-            copies.append(c)
-            c = pltpu.make_async_copy(ins[i].at[pl.ds(b_row0, LOAD_R), :],
-                                      wins[nch + i], sems.at[nch + i])
-            c.start()
-            copies.append(c)
-        for c in copies:
-            c.wait()
-
-        def prep(chans, rot, cnt, reverse):
-            chans = _flat_rot_dyn(chans, rot)
-            chans = tuple(c[:TILE_R] for c in chans)
-            row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
-            live = row * LANES + lane < cnt
-            # Mask every KEY channel of non-live window slack to SENT. With
-            # num_keys=2 slack ties with live sentinel-key rows and the
-            # network may emit a slack row in their place -- harmless when
-            # all sentinel rows are downstream-dropped (set ops), but fatal
-            # when payloads of sentinel-key rows are meaningful (the join's
-            # probe indices). num_keys=3 makes the tag part of the key, so
-            # ties exist only between identical triples.
-            chans = tuple(jnp.where(live, c, SENT) if i < num_keys else c
-                          for i, c in enumerate(chans))
-            if reverse:
-                chans = tuple(_flip_all(c) for c in chans)
-            return chans
-
-        a_chans = prep(tuple(w[:] for w in wins[:nch]), a_rot, a_cnt, False)
-        b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
-        cand = tuple(jnp.concatenate([a, b], axis=0)
-                     for a, b in zip(a_chans, b_chans))
-        cand = _bitonic_merge_block(cand, 2 * TILE_E, num_keys)
+        cand = _merged_tile(scal_ref, ins, wins, sems, nch, num_keys)
         for o, c in zip(outs, cand):
             o[:] = c[:TILE_R]
     return kernel
@@ -277,16 +285,11 @@ def stream_merge_pass_pallas(hi, lo, pay, run, interpret: bool = False):
         b1 - b0,                         # b_cnt
     ]).astype(jnp.int32)
 
-    # pad inputs so window loads never run off the end
-    pad_rows = LOAD_R
-    def pad(x, fill):
-        return jnp.concatenate(
-            [x.reshape(-1, LANES),
-             jnp.full((pad_rows, LANES), fill, x.dtype)])
     pays = (() if pay is None
             else tuple(pay) if isinstance(pay, (tuple, list)) else (pay,))
-    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
-    chans += [pad(p, jnp.uint32(0)) for p in pays]
+    chans = [_pad_chan(hi, jnp.uint32(0xFFFFFFFF)),
+             _pad_chan(lo, jnp.uint32(0xFFFFFFFF))]
+    chans += [_pad_chan(p, jnp.uint32(0)) for p in pays]
     nch = len(chans)
 
     out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
@@ -343,6 +346,32 @@ def _pair_partition(hi, lo, nA: int, nB: int):
     return a0
 
 
+def _pair_scalars(hi, lo, nA: int):
+    """Per-tile (a_row0, b_row0, a_rot, b_rot, a_cnt, b_cnt) for one
+    [A | B] pair (the _merged_tile scalar-prefetch contract)."""
+    n = hi.shape[0]
+    nB = n - nA
+    ntiles = n // TILE_E
+    a0 = _pair_partition(hi, lo, nA, nB)
+    a1 = jnp.concatenate([a0[1:], jnp.full((1,), nA, a0.dtype)])
+    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    gb0 = nA + b0
+    return jnp.stack([
+        a0 // LANES, gb0 // LANES, a0 % LANES, gb0 % LANES,
+        a1 - a0, b1 - b0,
+    ]).astype(jnp.int32)
+
+
+def _pad_chan(x, fill):
+    """Round up to (rows, 128) with LOAD_R slack rows so window DMAs never
+    run off the end."""
+    return jnp.concatenate(
+        [x.reshape(-1, LANES),
+         jnp.full((LOAD_R, LANES), fill, x.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=("nA", "interpret", "num_keys"))
 def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False,
                              num_keys: int = 2):
@@ -361,30 +390,13 @@ def stream_merge_pair_pallas(hi, lo, pay, nA: int, interpret: bool = False,
     tile drops is also outside every other tile's window).
     """
     n = hi.shape[0]
-    nB = n - nA
     ntiles = n // TILE_E
-    a0 = _pair_partition(hi, lo, nA, nB)
-    a1 = jnp.concatenate([a0[1:], jnp.full((1,), nA, a0.dtype)])
-    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
-    b0 = d - a0
-    b1 = (d + TILE_E) - a1
-    gb0 = nA + b0
-    scal = jnp.stack([
-        a0 // LANES, gb0 // LANES, a0 % LANES, gb0 % LANES,
-        a1 - a0, b1 - b0,
-    ]).astype(jnp.int32)
-
-    pad_rows = LOAD_R
-
-    def pad(x, fill):
-        return jnp.concatenate(
-            [x.reshape(-1, LANES),
-             jnp.full((pad_rows, LANES), fill, x.dtype)])
-
+    scal = _pair_scalars(hi, lo, nA)
     pays = (() if pay is None
             else tuple(pay) if isinstance(pay, (tuple, list)) else (pay,))
-    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)), pad(lo, jnp.uint32(0xFFFFFFFF))]
-    chans += [pad(p, jnp.uint32(0xFFFFFFFF if 2 + i < num_keys else 0))
+    chans = [_pad_chan(hi, jnp.uint32(0xFFFFFFFF)),
+             _pad_chan(lo, jnp.uint32(0xFFFFFFFF))]
+    chans += [_pad_chan(p, jnp.uint32(0xFFFFFFFF if 2 + i < num_keys else 0))
               for i, p in enumerate(pays)]
     nch = len(chans)
 
@@ -458,7 +470,7 @@ def _extract_u32(mask, v):
 
 
 def _make_join_stream_kernel(n_tag: int):
-    nch = 3          # hi*, lo*, idx -- all three comparator keys (join fix)
+    nch = 3          # hi*, lo*, tag -- all three comparator keys (join fix)
 
     def kernel(scal_ref, *refs):
         ins = refs[:nch]
@@ -480,42 +492,7 @@ def _make_join_stream_kernel(n_tag: int):
             ckey[1] = jnp.uint32(0x7FFFFFFF)
             clead[0] = jnp.int32(-1)
 
-        a_row0 = scal_ref[0, t]
-        b_row0 = scal_ref[1, t]
-        a_rot = scal_ref[2, t]
-        b_rot = scal_ref[3, t]
-        a_cnt = scal_ref[4, t]
-        b_cnt = scal_ref[5, t]
-
-        copies = []
-        for i in range(nch):
-            c = pltpu.make_async_copy(ins[i].at[pl.ds(a_row0, LOAD_R), :],
-                                      wins[i], sems.at[i])
-            c.start()
-            copies.append(c)
-            c = pltpu.make_async_copy(ins[i].at[pl.ds(b_row0, LOAD_R), :],
-                                      wins[nch + i], sems.at[nch + i])
-            c.start()
-            copies.append(c)
-        for c in copies:
-            c.wait()
-
-        def prep(chans, rot, cnt, reverse):
-            chans = _flat_rot_dyn(chans, rot)
-            chans = tuple(c[:TILE_R] for c in chans)
-            row = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, chans[0].shape, 1)
-            live = row * LANES + lane < cnt
-            chans = tuple(jnp.where(live, c, SENT) for c in chans)
-            if reverse:
-                chans = tuple(_flip_all(c) for c in chans)
-            return chans
-
-        a_chans = prep(tuple(w[:] for w in wins[:nch]), a_rot, a_cnt, False)
-        b_chans = prep(tuple(w[:] for w in wins[nch:]), b_rot, b_cnt, True)
-        cand = tuple(jnp.concatenate([a, b], axis=0)
-                     for a, b in zip(a_chans, b_chans))
-        cand = _bitonic_merge_block(cand, 2 * TILE_E, num_keys=3)
+        cand = _merged_tile(scal_ref, ins, wins, sems, nch, num_keys=3)
 
         hi_o = cand[0][:TILE_R]
         lo_o = cand[1][:TILE_R]
@@ -563,27 +540,11 @@ def stream_join_pair_pallas(hi, lo, tag, nA: int, n_tag: int,
     multiples of TILE_E). Returns bkey = min(tag, n_tag)*2 + hit per
     merged element, ready for kernels/join._rowsum_by_idx."""
     n = hi.shape[0]
-    nB = n - nA
     ntiles = n // TILE_E
-    a0 = _pair_partition(hi, lo, nA, nB)
-    a1 = jnp.concatenate([a0[1:], jnp.full((1,), nA, a0.dtype)])
-    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
-    b0 = d - a0
-    b1 = (d + TILE_E) - a1
-    gb0 = nA + b0
-    scal = jnp.stack([
-        a0 // LANES, gb0 // LANES, a0 % LANES, gb0 % LANES,
-        a1 - a0, b1 - b0,
-    ]).astype(jnp.int32)
-
-    def pad(x, fill):
-        return jnp.concatenate(
-            [x.reshape(-1, LANES),
-             jnp.full((LOAD_R, LANES), fill, x.dtype)])
-
-    chans = [pad(hi, jnp.uint32(0xFFFFFFFF)),
-             pad(lo, jnp.uint32(0xFFFFFFFF)),
-             pad(tag, jnp.uint32(0xFFFFFFFF))]
+    scal = _pair_scalars(hi, lo, nA)
+    chans = [_pad_chan(hi, jnp.uint32(0xFFFFFFFF)),
+             _pad_chan(lo, jnp.uint32(0xFFFFFFFF)),
+             _pad_chan(tag, jnp.uint32(0xFFFFFFFF))]
 
     out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
                             memory_space=pltpu.VMEM)
