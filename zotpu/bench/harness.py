@@ -23,28 +23,34 @@ def _synth_codes(rng, reads, length):
 
 def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
                   repeats: int = 3) -> dict:
+    from zotpu.io import wire
+
     rng = np.random.default_rng(0)
     reads = max(total_bases // read_len, 1)
-    codes = jnp.asarray(_synth_codes(rng, reads, read_len))
+    pw, mw = wire.pack_codes(_synth_codes(rng, reads, read_len))
+    pw, mw = jnp.asarray(pw), jnp.asarray(mw)
     lengths = jnp.full(reads, read_len, jnp.int32)
 
     @jax.jit
-    def step(c, l):
+    def step(pw, mw, l):
         # The returned scalar depends on the whole pipeline and is synced via
         # host transfer: block_until_ready reports Pallas-containing programs
         # ready early on some PJRT backends, so it cannot be the timer fence.
         # compact=False is the production per-batch path (the accumulator
         # consumes marked runs; compaction happens once at the end of a run).
-        hi, lo, w = dispatch.pack_canonical(c, l, k)
+        # Input is the 2-bit wire form exactly as production ships it --
+        # round 2.3: the Pallas pack consumes the u32 wire words directly,
+        # removing the u8 code array whose retile cost ~28 ms per batch.
+        hi, lo, w = dispatch.pack_canonical_wire(pw, mw, l, k)
         uhi, ulo, counts, n = sortdedup.kmer_sort_dedup(hi, lo, w,
                                                         compact=False)
         return n + jnp.sum(counts, dtype=jnp.uint32).astype(jnp.int32)
 
-    int(np.asarray(step(codes, lengths)))  # compile + warmup
+    int(np.asarray(step(pw, mw, lengths)))  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        int(np.asarray(step(codes, lengths)))
+        int(np.asarray(step(pw, mw, lengths)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     bases = reads * read_len

@@ -108,7 +108,7 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
 
     Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
     With ``wire=True`` the step instead takes the 0.375 B/base wire form
-    (io/wire.py) -- packed (D*R, read_len/4) u8 + mask (D*R, read_len/8) u8 +
+    (io/wire.py) -- packed (D*R, read_len/16) u32 + mask (D*R, read_len/32) u32 +
     lengths -- and each shard unpacks its local slice on device (elementwise,
     fused); read_len must be a multiple of 8.
     Output (global, sharded by shard): per-shard unique keys hi/lo (D, cap_out),
@@ -129,8 +129,8 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
     cap_out = D * (cap + cap2)
 
-    if wire and read_len % 8:
-        raise ValueError(f"wire form needs 8 | read_len, got {read_len}")
+    if wire and read_len % 32:
+        raise ValueError(f"wire form needs 32 | read_len, got {read_len}")
 
     def body(codes, lengths):
         hi, lo, w = pack_canonical(codes, lengths, k)

@@ -74,6 +74,7 @@ def get_lib():
                                          ctypes.c_void_p]
             lib.zotpu_pack_wire.restype = None
             lib.zotpu_pack_wire.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64,
                                             ctypes.c_void_p, ctypes.c_void_p]
         except (OSError, AttributeError):
             _lib_failed = True
@@ -104,19 +105,19 @@ def parse_fastq_buffer(buf: bytes | np.ndarray, max_reads: int, max_len: int,
 
 
 def pack_wire(codes: np.ndarray):
-    """Single-pass C++ wire pack (see io/wire.py for the layout), or None if
-    the native library is unavailable. codes: contiguous (rows, L) u8 with
-    L % 8 == 0 (row boundaries then align to 8-code groups, so one flat pass
-    covers the whole batch)."""
+    """Single-pass C++ wire pack (see io/wire.py for the STRIPED u32
+    layout), or None if the native library is unavailable. codes: contiguous
+    (rows, L) u8 with L % 32 == 0."""
     lib = get_lib()
     if lib is None:
         return None
     rows, L = codes.shape
     codes = np.ascontiguousarray(codes)
-    packed = np.empty((rows, L // 4), np.uint8)
-    mask = np.empty((rows, L // 8), np.uint8)
+    packed = np.empty((rows, L // 16), np.uint32)
+    mask = np.empty((rows, L // 32), np.uint32)
     lib.zotpu_pack_wire(
-        ctypes.c_void_p(codes.ctypes.data), ctypes.c_int64(rows * L),
+        ctypes.c_void_p(codes.ctypes.data), ctypes.c_int64(rows),
+        ctypes.c_int64(L),
         ctypes.c_void_p(packed.ctypes.data), ctypes.c_void_p(mask.ctypes.data))
     return packed, mask
 

@@ -28,3 +28,16 @@ def pack_canonical(codes, lengths, k: int):
     if use_pallas():
         return _pack_pl.pack_canonical_pallas(codes, lengths, k)
     return _pack_xla.pack_canonical(codes, lengths, k)
+
+
+def pack_canonical_wire(packed, mask, lengths, k: int):
+    """pack_canonical over the striped 2-bit wire form (io/wire.py).
+
+    On TPU the Pallas kernel consumes the u32 wire words directly (no u8
+    code array is ever materialized -- that conversion alone costs as much
+    as the window build); elsewhere unpack + the XLA reference path."""
+    if use_pallas():
+        return _pack_pl.pack_canonical_wire_pallas(packed, mask, lengths, k)
+    from zotpu.io import wire as _wire
+    return _pack_xla.pack_canonical(_wire.unpack_codes(packed, mask),
+                                    lengths, k)

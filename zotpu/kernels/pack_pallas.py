@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zotpu import semantics as S
 
-TR = 32  # row tile (u8 min sublane)
+TR = 64  # row tile (multiple of the u8 min sublane 32)
 
 
 def _roll_left(x, j):
@@ -47,9 +47,9 @@ def _shl64(hi, lo, t: int):
     return lo << jnp.uint32(t - 32), jnp.zeros_like(lo)
 
 
-def _pack_kernel(codes_ref, lengths_ref, hi_ref, lo_ref, w_ref, *, k: int):
+def _pack_core(c, lengths, hi_ref, lo_ref, *, k: int):
+    """Window build + canonicalize + validity from u32 codes in registers."""
     SENT32 = jnp.uint32(0xFFFFFFFF)
-    c = codes_ref[:].astype(jnp.uint32)
     L = c.shape[1]
 
     # Log-doubling window build: O(log k) roll+or steps instead of O(k).
@@ -118,14 +118,42 @@ def _pack_kernel(codes_ref, lengths_ref, hi_ref, lo_ref, w_ref, *, k: int):
     # window [i, i+k) clean  <=>  last_bad[i + k - 1] < i
     lb_end = _roll_left(lb, k - 1)
     window_clean = lb_end < col
-    lengths = lengths_ref[:]  # (TR, 1) int32
-    in_read = col + k <= lengths
+    in_read = col + k <= lengths  # lengths: (TR, 1) int32
     in_tile = col < L - k + 1
     valid = window_clean & in_read & in_tile
 
     hi_ref[:] = jnp.where(valid, chi, SENT32)
     lo_ref[:] = jnp.where(valid, clo, SENT32)
-    w_ref[:] = valid.astype(jnp.uint32)
+
+
+def _pack_kernel(codes_ref, lengths_ref, hi_ref, lo_ref, *, k: int):
+    # u8 codes path (tests / non-wire producers). NOTE the astype is the
+    # expensive part on TPU (~28 ms per 30.4M-kmer batch: u8 arrays retile);
+    # the production wire path avoids u8 entirely (_pack_wire_kernel).
+    _pack_core(codes_ref[:].astype(jnp.uint32), lengths_ref[:],
+               hi_ref, lo_ref, k=k)
+
+
+def _pack_wire_kernel(packed_ref, mask_ref, lengths_ref, hi_ref, lo_ref,
+                      *, k: int):
+    """Unpack the STRIPED 2-bit wire form (io/wire.py v2) in registers.
+
+    t = tile(packed, 16) puts word (i mod W) at lane i, which holds base i
+    in bit field 2*(i // W) -- one pltpu.repeat + a lane-indexed shift, no
+    u8 arrays and no cross-lane permutation. Same for the invalid mask at
+    32 bits/word."""
+    pw = packed_ref[:]                       # (TR, W) u32
+    mw = mask_ref[:]                         # (TR, M) u32
+    W = pw.shape[1]
+    M = mw.shape[1]
+    L = W * 16
+    lane = jax.lax.broadcasted_iota(jnp.int32, (pw.shape[0], L), 1)
+    t = pltpu.repeat(pw, 16, axis=1)
+    c = (t >> ((lane // W) * 2).astype(jnp.uint32)) & jnp.uint32(3)
+    tm = pltpu.repeat(mw, 32, axis=1)
+    inv = (tm >> (lane // M).astype(jnp.uint32)) & jnp.uint32(1)
+    c = jnp.where(inv != 0, jnp.uint32(S.INVALID_CODE), c)
+    _pack_core(c, lengths_ref[:], hi_ref, lo_ref, k=k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -152,17 +180,66 @@ def pack_canonical_pallas(codes: jax.Array, lengths: jax.Array, k: int,
         out_specs=[
             pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Rp, L), jnp.uint32),
             jax.ShapeDtypeStruct((Rp, L), jnp.uint32),
             jax.ShapeDtypeStruct((Rp, L), jnp.uint32),
         ],
         interpret=interpret,
     )(codes, lengths2d)
-    hi, lo, w = out
+    hi, lo = out
     hi = hi[:R, :m].reshape(-1)
     lo = lo[:R, :m].reshape(-1)
-    w = w[:R, :m].reshape(-1)
+    # validity is fully encoded in the sentinel key (valid canonical keys
+    # have hi < 2^31), so the weight channel is DERIVED, not a third kernel
+    # output -- every consumer either ignores w or re-derives validity, and
+    # XLA dead-code-eliminates this when unused (the kernel itself saved a
+    # third HBM write channel).
+    w = (hi != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo, w
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pack_canonical_wire_pallas(packed: jax.Array, mask: jax.Array,
+                               lengths: jax.Array, k: int,
+                               interpret: bool = False):
+    """pack_canonical over the striped 2-bit wire form (io/wire.py):
+    (R, L/16) u32 packed + (R, L/32) u32 mask -> same (hi, lo, w) contract
+    as pack_canonical_pallas. The wire words stay u32 end to end -- no u8
+    code array is ever materialized (that conversion alone costs as much as
+    the rest of the kernel)."""
+    R, W = packed.shape
+    L = W * 16
+    m = L - k + 1
+    pad = (-R) % TR
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)),
+                       constant_values=jnp.uint32(0xFFFFFFFF))  # all-invalid
+        lengths = jnp.pad(lengths, (0, pad))
+    Rp = R + pad
+    lengths2d = lengths.astype(jnp.int32).reshape(Rp, 1)
+    out = pl.pallas_call(
+        functools.partial(_pack_wire_kernel, k=k),
+        grid=(Rp // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, W // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Rp, L), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(packed, mask, lengths2d)
+    hi, lo = out
+    hi = hi[:R, :m].reshape(-1)
+    lo = lo[:R, :m].reshape(-1)
+    w = (hi != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
     return hi, lo, w

@@ -80,25 +80,33 @@ void zotpu_encode(const uint8_t* buf, int64_t len, uint8_t* out) {
     for (int64_t i = 0; i < len; ++i) out[i] = LUT[buf[i]];
 }
 
-// Pack code rows into the H2D wire form (zotpu/io/wire.py): 4 codes/byte
-// (code i of a group at bit 2i) + 1 invalid bit/base (base i of a group at
-// bit i; invalid = code >= 4, i.e. bit 2 set for codes in 0..4). total is
-// rows * L bytes in, rows * (L/4 + L/8) bytes out; L % 8 == 0.
-void zotpu_pack_wire(const uint8_t* codes, int64_t total,
-                     uint8_t* packed, uint8_t* mask) {
-    const int64_t groups = total / 8;
-    for (int64_t g = 0; g < groups; ++g) {
-        const uint8_t* c = codes + g * 8;
-        uint8_t p0 = 0, p1 = 0, mb = 0;
-        for (int b = 0; b < 4; ++b)
-            p0 = static_cast<uint8_t>(p0 | ((c[b] & 3) << (2 * b)));
-        for (int b = 0; b < 4; ++b)
-            p1 = static_cast<uint8_t>(p1 | ((c[4 + b] & 3) << (2 * b)));
-        for (int b = 0; b < 8; ++b)
-            mb = static_cast<uint8_t>(mb | (((c[b] >> 2) & 1) << b));
-        packed[2 * g] = p0;
-        packed[2 * g + 1] = p1;
-        mask[g] = mb;
+// Pack code rows into the STRIPED H2D wire form (zotpu/io/wire.py v2):
+// per row of L codes, W = L/16 code words and M = L/32 mask words;
+// packed[w] bit 2j..2j+1 = code of base j*W + w (0 if invalid);
+// mask[w] bit j = invalid flag of base j*M + w (code >= 4).
+// L % 32 == 0. Inner loops run contiguously over w; a row's words live in
+// L1, so the 16/32 passes per row are cheap.
+void zotpu_pack_wire(const uint8_t* codes, int64_t rows, int64_t L,
+                     uint32_t* packed, uint32_t* mask) {
+    const int64_t W = L / 16, M = L / 32;
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* c = codes + r * L;
+        uint32_t* p = packed + r * W;
+        uint32_t* m = mask + r * M;
+        for (int64_t w = 0; w < W; ++w) p[w] = 0;
+        for (int64_t w = 0; w < M; ++w) m[w] = 0;
+        for (int j = 0; j < 16; ++j) {
+            const uint8_t* cj = c + j * W;
+            for (int64_t w = 0; w < W; ++w) {
+                const uint32_t v = cj[w];
+                p[w] |= (v < 4 ? v : 0u) << (2 * j);
+            }
+        }
+        for (int j = 0; j < 32; ++j) {
+            const uint8_t* cj = c + j * M;
+            for (int64_t w = 0; w < M; ++w)
+                m[w] |= static_cast<uint32_t>(cj[w] >= 4) << j;
+        }
     }
 }
 

@@ -54,14 +54,12 @@ def _device_batch(codes, lengths, k, compact: bool = True):
 
 @functools.partial(jax.jit, static_argnames=("k", "compact"))
 def _device_batch_wire(packed, mask, lengths, k, compact=True):
-    """Per-batch step over the 0.375 B/base wire form (io/wire.py): the
-    2-bit unpack is elementwise and fuses into the same XLA program, so
-    shipping packed batches cuts H2D bytes 2.67x at no device cost (the
-    H2D link is the e2e bottleneck: ~40-60 MB/s on tunneled rigs)."""
-    from zotpu.io import wire
+    """Per-batch step over the 0.375 B/base wire form (io/wire.py):
+    shipping packed batches cuts H2D bytes 2.67x, and on TPU the Pallas
+    pack kernel consumes the u32 wire words directly -- the u8 code array
+    (whose retile alone costs as much as the window build) never exists."""
     from zotpu.kernels import dispatch
-    codes = wire.unpack_codes(packed, mask)
-    hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
+    hi, lo, w = dispatch.pack_canonical_wire(packed, mask, lengths, k)
     return sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact)
 
 
@@ -177,7 +175,7 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
 
     # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
     # device compute and host merging of the previous batch.
-    wire_pack = max_len % 8 == 0  # wire form needs 8|L (batches are padded)
+    wire_pack = max_len % 32 == 0  # wire form needs 32|L (striped u32 words)
     for batch in _iter_batches(paths, batch_reads, max_len, k, stats,
                                wire_pack=wire_pack):
         batch_no += 1

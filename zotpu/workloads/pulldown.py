@@ -40,12 +40,17 @@ def scan_batch(codes, lengths, panel_hi, panel_lo, k: int):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def scan_batch_wire(packed, mask, lengths, panel_hi, panel_lo, k: int):
-    """scan_batch over the 0.375 B/base wire form (io/wire.py): the 2-bit
-    unpack fuses into the same program; H2D bytes drop 2.67x (the scan CLI
-    is H2D-bound on tunneled rigs, like kmerize)."""
-    from zotpu.io import wire
-    codes = wire.unpack_codes(packed, mask)
-    return scan_batch(codes, lengths, panel_hi, panel_lo, k)
+    """scan_batch over the 0.375 B/base wire form (io/wire.py): H2D bytes
+    drop 2.67x (the scan CLI is H2D-bound on tunneled rigs, like kmerize),
+    and on TPU the Pallas pack kernel consumes the u32 wire words directly
+    (no u8 code array)."""
+    from zotpu.kernels import dispatch
+    from zotpu.kernels.join import row_hits_sorted_join
+
+    R, W = packed.shape
+    m = W * 16 - k + 1
+    hi, lo, w = dispatch.pack_canonical_wire(packed, mask, lengths, k)
+    return row_hits_sorted_join(panel_hi, panel_lo, hi, lo, R, m)
 
 
 def _iter_scan_batches(path, batch_reads, max_len, k, wire_pack):
@@ -110,7 +115,7 @@ def pulldown_paths(panel_keys: np.ndarray, sample_paths: list[str], k: int,
                    batch_reads: int = 4096, max_len: int = 256):
     """Per-sample (total_hits, reads_with_hits, per_read_hits list)."""
     phi, plo = panel_to_device(panel_keys)
-    wire_pack = max_len % 8 == 0
+    wire_pack = max_len % 32 == 0
     results = []
     for path in sample_paths:
         agg = RecordAggregator()
@@ -147,7 +152,7 @@ def pulldown_paths_sharded(panel_keys: np.ndarray, sample_paths: list[str],
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
-    wire_pack = max_len % 8 == 0
+    wire_pack = max_len % 32 == 0
     phi, plo, cap = shuffle.partition_panel(panel_keys, k, n_shards)
     step = shuffle.make_pulldown_step(mesh, k, reads_per_chip, max_len, cap,
                                       capacity_factor=capacity_factor,
