@@ -115,15 +115,19 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
     k-mers probed against a device-resident sorted panel, k-mers/s."""
     from zotpu.workloads import pulldown
 
+    from zotpu.io import wire
+
     rng = np.random.default_rng(2)
     panel = np.unique(rng.integers(0, 1 << (2 * k), panel_size,
                                    dtype=np.uint64).astype(np.uint64))
     phi, plo = pulldown.panel_to_device(panel)
-    codes = jnp.asarray(_synth_codes(rng, n_reads, read_len))
+    # the production scan ships the 2-bit wire form; measure that step
+    pw, mw = wire.pack_codes(_synth_codes(rng, n_reads, read_len))
+    pw, mw = jnp.asarray(pw), jnp.asarray(mw)
     lengths = jnp.full(n_reads, read_len, jnp.int32)
 
     def step():
-        hits = pulldown.scan_batch(codes, lengths, phi, plo, k)
+        hits = pulldown.scan_batch_wire(pw, mw, lengths, phi, plo, k)
         return int(np.asarray(jnp.sum(hits)))  # host-transfer fence
 
     step()
