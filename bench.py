@@ -89,6 +89,14 @@ def main():
             "unit": f"t(1)/t({rows[-1]['devices']})",
             "vs_baseline": eff / 0.8,  # BASELINE: >=80% at 2+ hosts
         })
+        # One real chip on this rig, so the row above is trivially 1.0.
+        # An 8-fake-device CPU mesh was tried and REJECTED as a stand-in:
+        # fake devices share the host's cores, so "weak scaling" there
+        # measures host parallelism artifacts (0.28 at D=8), not the
+        # program's device scaling. Multi-chip correctness is covered by
+        # the CPU-mesh test suite and the driver's dryrun_multichip; real
+        # efficiency needs real chips (BASELINE metric 3 stands unmeasured
+        # on this rig, not failed).
     except Exception as e:
         log(f"scaling failed: {e!r}")
 
