@@ -238,3 +238,24 @@ def test_pulldown_sixteen_samples(mesh8):
         want[sample_ids[i]] += per_read[i]
     assert np.array_equal(hits, want)
     assert want.sum() > 0  # reads overlapping the panel region must hit
+
+
+def test_sharded_kmerize_unaligned_max_len(tmp_path):
+    """max_len divisible by 8 but not 32 must fall back to the codes path
+    (the striped u32 wire form needs 32 | L); regression for the gate left
+    at % 8 after the wire v2 layout change."""
+    import numpy as np
+
+    from zotpu.reference_impl import golden as G
+    from zotpu.workloads import kmerize as W
+
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), size=int(n)))
+            for n in rng.integers(20, 40, size=24)]
+    p = tmp_path / "r.fasta"
+    p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    keys, counts = W.kmerize_paths_sharded([str(p)], 13, n_shards=4,
+                                           batch_reads=16, max_len=40)
+    gk, gc = G.kmerize(13, seqs)
+    np.testing.assert_array_equal(keys, gk)
+    np.testing.assert_array_equal(counts, gc)

@@ -237,8 +237,8 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         return hits[None], overflow[None]
 
     if wire:
-        if read_len % 8:
-            raise ValueError(f"wire form needs 8 | read_len, got {read_len}")
+        if read_len % 32:
+            raise ValueError(f"wire form needs 32 | read_len, got {read_len}")
         from zotpu.io import wire as W
 
         def local_step(packed, mask, lengths, phi, plo):

@@ -343,7 +343,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
     use_acc = spill_dir is None
-    wire_pack = max_len % 8 == 0
+    wire_pack = max_len % 32 == 0
     step, cap_out = shuffle.make_kmerize_step(
         mesh, k, reads_per_chip, max_len, capacity_factor=capacity_factor,
         compact=not use_acc, wire=wire_pack)
