@@ -259,3 +259,43 @@ def test_sharded_kmerize_unaligned_max_len(tmp_path):
     gk, gc = G.kmerize(13, seqs)
     np.testing.assert_array_equal(keys, gk)
     np.testing.assert_array_equal(counts, gc)
+
+
+def test_mixed_hash_sharding_byte_equal_and_balanced(tmp_path):
+    """--shard-hash mixed: byte-equal output, and balanced routing on
+    GC-skewed input where key-prefix sharding is pathological (SURVEY
+    section 7 "hard parts": measure both)."""
+    import numpy as np
+
+    from zotpu.reference_impl import golden as G
+    from zotpu.workloads import kmerize as W
+
+    rng = np.random.default_rng(9)
+    # AT-rich reads: canonical keys start with A (code 0) almost always ->
+    # key-prefix owners collapse onto shard 0
+    seqs = ["".join(rng.choice(list("ATATATATAC"), size=64)) for _ in range(64)]
+    p = tmp_path / "r.fasta"
+    p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    k = 13
+
+    smix = W.Stats()
+    km, cm = W.kmerize_paths_sharded([str(p)], k, n_shards=8, batch_reads=64,
+                                     max_len=64, stats=smix,
+                                     capacity_factor=8.0, shard_hash="mixed")
+    spre = W.Stats()
+    kp, cp = W.kmerize_paths_sharded([str(p)], k, n_shards=8, batch_reads=64,
+                                     max_len=64, stats=spre,
+                                     capacity_factor=8.0, shard_hash="prefix")
+    gk, gc = G.kmerize(k, seqs)
+    np.testing.assert_array_equal(km, gk)
+    np.testing.assert_array_equal(cm, gc)
+    np.testing.assert_array_equal(kp, gk)
+    np.testing.assert_array_equal(cp, gc)
+
+    def skew(routed):
+        routed = np.asarray(routed, np.float64)
+        return routed.max() / routed.mean()
+
+    assert skew(spre.routed_per_shard) > 2.5   # prefix piles onto low shards
+    assert skew(smix.routed_per_shard) < 1.5   # mixed stays balanced
+    assert skew(smix.routed_per_shard) < skew(spre.routed_per_shard)

@@ -85,7 +85,8 @@ def cmd_kmerize(args):
                 args.inputs, args.k, args.shards,
                 batch_reads=args.batch_reads, max_len=args.max_len,
                 stats=stats, spill_dir=args.spill_dir, resume=args.resume,
-                merge_capacity=args.merge_capacity)
+                merge_capacity=args.merge_capacity,
+                shard_hash=args.shard_hash)
         else:
             keys, counts = W.kmerize_paths(
                 args.inputs, args.k, batch_reads=args.batch_reads,
@@ -412,6 +413,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--shards", type=int, default=1,
                     help="shard the k-mer key space across N local devices "
                          "(power of two; all-to-all routing)")
+    sp.add_argument("--shard-hash", choices=("prefix", "mixed"),
+                    default="prefix", dest="shard_hash",
+                    help="shard owner function: key prefix (concatenation "
+                         "is globally sorted) or a mixed 32-bit hash "
+                         "(balanced under GC-content skew; output re-sorted "
+                         "at the end, bytes identical)")
     sp.add_argument("--merge-capacity", type=int, default=1 << 26,
                     help="device accumulator capacity in unique k-mers")
     sp.add_argument("--resume", action="store_true",

@@ -52,12 +52,14 @@ def _owner_of(hi, lo, k: int, p: int, n_shards: int):
 
 
 def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
-           capacity2: int = 0):
+           capacity2: int = 0, owner=None):
     """Owner-route sorted-by-key entries into (D, C) buckets + all_to_all.
 
     Returns received (hi, lo, *payload) flattened to (D*(C+C2),) plus the
-    local overflow count. Inputs MUST be sorted by (hi, lo); sentinel =
-    invalid.
+    local overflow count. Inputs MUST be sorted so that ``owner`` is
+    non-decreasing: by (hi, lo) for the default key-prefix owner, or by the
+    routing mix when a precomputed ``owner`` vector is passed (mixed-hash
+    sharding); sentinel = invalid.
 
     ``capacity2 > 0`` enables the overflow SECOND ROUND (SURVEY.md section 7
     "hard parts"): entries beyond a destination's first-round capacity go into
@@ -68,7 +70,8 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     """
     p = shard_bits(n_shards)
     m = hi.shape[0]
-    owner = _owner_of(hi, lo, k, p, n_shards)
+    if owner is None:
+        owner = _owner_of(hi, lo, k, p, n_shards)
     valid = ~((hi == SENT32) & (lo == SENT32))
     # owner is non-decreasing (key prefix on sorted keys; sentinels clamp to
     # the last shard), so bucket fill positions are index - bucket_start.
@@ -103,7 +106,8 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
 
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
                       capacity_factor: float = 2.0, compact: bool = True,
-                      second_round: bool = True, wire: bool = False):
+                      second_round: bool = True, wire: bool = False,
+                      shard_hash: str = "prefix"):
     """Build the jitted multi-chip kmerize step.
 
     Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
@@ -121,6 +125,14 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     re-sorts during its merge (kernels/sortdedup.dedup_mark_sorted).
     ``routed`` is the number of k-mers each shard received this batch -- the
     per-shard routing volume/skew metric (SURVEY.md section 5).
+
+    ``shard_hash="mixed"`` routes by the top bits of a 32-bit avalanche of
+    the key (semantics.routing_mix32) instead of the key prefix: balanced
+    shards regardless of GC-content skew, at the cost of one extra sort
+    channel here and a final sort after gathering (per-shard runs are each
+    key-sorted, but shard key ranges interleave). A key still maps to
+    exactly ONE shard, so duplicates always meet and output bytes are
+    identical (SURVEY.md section 7 "hard parts": measure both).
     """
     S.check_k(k)
     D = mesh.devices.size
@@ -132,10 +144,26 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     if wire and read_len % 32:
         raise ValueError(f"wire form needs 32 | read_len, got {read_len}")
 
+    if shard_hash not in ("prefix", "mixed"):
+        raise ValueError(f"unknown shard_hash {shard_hash!r}")
+    p_bits = shard_bits(D)
+
     def body(codes, lengths):
         hi, lo, w = pack_canonical(codes, lengths, k)
-        hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-        (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
+        if shard_hash == "mixed":
+            mix = S.routing_mix32(hi, lo)
+            # sentinels route to the last shard, weightless (as in prefix)
+            mix = jnp.where((hi == SENT32) & (lo == SENT32),
+                            jnp.uint32(0xFFFFFFFF), mix)
+            mix, hi, lo = jax.lax.sort((mix, hi, lo), num_keys=3)
+            owner = (jnp.minimum(mix >> jnp.uint32(32 - p_bits),
+                                 jnp.uint32(D - 1)).astype(jnp.int32)
+                     if p_bits else jnp.zeros(mix.shape, jnp.int32))
+            (rhi, rlo), overflow = _route(hi, lo, k, D, cap,
+                                          capacity2=cap2, owner=owner)
+        else:
+            hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+            (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
         routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
         rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
         if compact:
@@ -168,8 +196,11 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     return jax.jit(fn), cap_out
 
 
-def gather_global(uhi, ulo, counts, n_unique):
-    """Host-side: concatenate per-shard valid prefixes -> sorted u64 keys+counts."""
+def gather_global(uhi, ulo, counts, n_unique, reorder: bool = False):
+    """Host-side: concatenate per-shard valid prefixes -> sorted u64
+    keys+counts. Key-prefix sharding concatenates globally sorted;
+    mixed-hash sharding passes reorder=True for a final sort (keys are
+    disjoint across shards either way, so no count combining happens)."""
     keys_out, cnt_out = [], []
     uhi, ulo = np.asarray(uhi), np.asarray(ulo)
     counts, n_unique = np.asarray(counts), np.asarray(n_unique)
@@ -179,6 +210,9 @@ def gather_global(uhi, ulo, counts, n_unique):
         cnt_out.append(counts[d, :n].astype(S.COUNT_DTYPE))
     keys = np.concatenate(keys_out) if keys_out else np.empty(0, np.uint64)
     cnts = np.concatenate(cnt_out) if cnt_out else np.empty(0, S.COUNT_DTYPE)
+    if reorder and len(keys):
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
     return keys, cnts
 
 

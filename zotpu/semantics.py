@@ -102,6 +102,25 @@ def join_hi_lo(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 # Used ONLY for `sample` (hash-threshold downsampling) and optional mixed-hash
 # sharding; never for stored order. Reference analog: pykmer basics.murmer.
 
+def routing_mix32(hi, lo):
+    """32-bit avalanche over a two-word key for MIXED shard routing.
+
+    Used ONLY to pick an owner shard when GC-content skew makes key-prefix
+    sharding unbalanced (SURVEY.md section 7 "hard parts"); never stored,
+    never affects output bytes (a key maps to exactly one shard either way,
+    and mixed-mode gathers re-sort by key). Works on numpy and jnp u32
+    arrays alike (multiplies wrap mod 2^32): a product combine followed by
+    the murmur3 fmix32 finalizer."""
+    c1, c2 = np.uint32(0x9E3779B1), np.uint32(0x85EBCA77)
+    x = (hi * c1) ^ (lo * c2) ^ (lo >> np.uint32(16))
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> np.uint32(13))
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
 def murmur_mix_u64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     h = np.asarray(x, dtype=np.uint64) ^ np.uint64(seed)
     h ^= h >> np.uint64(33)

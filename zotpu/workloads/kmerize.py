@@ -304,7 +304,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                           spill_dir: str | None = None,
                           resume: bool = False,
                           fail_after_batches: int | None = None,
-                          merge_capacity: int = 1 << 26
+                          merge_capacity: int = 1 << 26,
+                          shard_hash: str = "prefix"
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-chip kmerize through the shard_map pipeline (BASELINE config 1
     at scale): each batch is split across the mesh, k-mers are all-to-all
@@ -346,7 +347,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     wire_pack = max_len % 32 == 0
     step, cap_out = shuffle.make_kmerize_step(
         mesh, k, reads_per_chip, max_len, capacity_factor=capacity_factor,
-        compact=not use_acc, wire=wire_pack)
+        compact=not use_acc, wire=wire_pack, shard_hash=shard_hash)
     acc: ShardedAccumulator | None = None
     route_overflow = None  # device-side deferred counter (accumulator mode)
     routed_tot = None      # per-shard routed k-mer volumes (device)
@@ -389,7 +390,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             np.asarray(uhi).reshape(n_shards, -1),
             np.asarray(ulo).reshape(n_shards, -1),
             np.asarray(counts).reshape(n_shards, -1),
-            np.asarray(n_unique))
+            np.asarray(n_unique), reorder=shard_hash == "mixed")
         stats.kmers += int(cnts.sum(dtype=np.uint64))
         if run_path is not None:
             container.write(run_path, container.KmerSet(
@@ -410,7 +411,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                 raise ValueError(
                     "all-to-all bucket overflow (deferred): raise "
                     "capacity_factor")
-            keys, counts = shuffle.gather_global(*acc.result())
+            keys, counts = shuffle.gather_global(
+                *acc.result(), reorder=shard_hash == "mixed")
             stats.kmers = int(counts.sum(dtype=np.uint64))
         if routed_tot is not None:
             if multi:
