@@ -299,3 +299,32 @@ def test_mixed_hash_sharding_byte_equal_and_balanced(tmp_path):
     assert skew(spre.routed_per_shard) > 2.5   # prefix piles onto low shards
     assert skew(smix.routed_per_shard) < 1.5   # mixed stays balanced
     assert skew(smix.routed_per_shard) < skew(spre.routed_per_shard)
+
+
+def test_mixed_hash_sharded_scan_matches_golden(tmp_path):
+    """scan --shards N --shard-hash mixed: per-read hit counts identical to
+    golden (hits are psum'd, so mixed routing needs no gather reordering)."""
+    import numpy as np
+
+    from zotpu.reference_impl import golden as G
+    from zotpu.workloads import pulldown as PD
+
+    rng = np.random.default_rng(4)
+    src = "".join(rng.choice(list("ATATATATGC"), size=400))  # AT-rich panel
+    panel_keys, _ = G.kmerize(11, [src])
+    seqs = []
+    for i in range(32):
+        if i % 2:
+            off = rng.integers(0, 400 - 50)
+            seqs.append(src[off:off + 50])
+        else:
+            seqs.append("".join(rng.choice(list("ACGTN"), size=50)))
+    p = tmp_path / "s.fasta"
+    p.write_text("".join(f">r{i}\n{q}\n" for i, q in enumerate(seqs)))
+    want = G.scan_panel(11, panel_keys, seqs)
+    for mode in ("prefix", "mixed"):
+        (tot, rwh, per) = PD.pulldown_paths_sharded(
+            panel_keys, [str(p)], 11, 4, batch_reads=16, max_len=64,
+            capacity_factor=8.0, shard_hash=mode)[0]
+        assert np.array_equal(np.asarray(per, np.int64), want), mode
+        assert tot == int(want.sum()) and rwh == int((want > 0).sum())

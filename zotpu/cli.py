@@ -256,7 +256,8 @@ def cmd_scan(args):
     elif args.shards > 1:
         results = pulldown.pulldown_paths_sharded(
             panel.keys, args.samples, panel.k, args.shards,
-            batch_reads=args.batch_reads, max_len=args.max_len)
+            batch_reads=args.batch_reads, max_len=args.max_len,
+            shard_hash=args.shard_hash)
     else:
         results = pulldown.pulldown_paths(
             panel.keys, args.samples, panel.k,
@@ -477,6 +478,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_filter)
 
     sp = sub.add_parser("scan", help="panel pulldown over read sets")
+    sp.add_argument("--shard-hash", choices=("prefix", "mixed"),
+                    default="prefix", dest="shard_hash",
+                    help="--shards owner function (see kmerize --shard-hash)")
     sp.add_argument("panel")
     sp.add_argument("samples", nargs="+")
     sp.add_argument("--per-read", action="store_true")

@@ -218,16 +218,20 @@ def gather_global(uhi, ulo, counts, n_unique, reorder: bool = False):
 
 def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
                        panel_cap: int, capacity_factor: float = 2.0,
-                       wire: bool = False):
+                       wire: bool = False, shard_hash: str = "prefix"):
     """Multi-chip panel pulldown (BASELINE config 5).
 
     ``wire=True``: input reads arrive in the 0.375 B/base wire form
     (io/wire.py) as (packed, mask, lengths, panel_hi, panel_lo); see
     make_kmerize_step.
 
-    The panel is sharded by the same key prefix as kmerize: shard d holds the
-    panel keys whose owner is d (sentinel-padded to panel_cap). Read k-mers
-    are routed to their owner shard carrying their global READ-ROW id; each
+    The panel is sharded by the same owner function as kmerize -- key
+    prefix, or the 32-bit routing mix with ``shard_hash="mixed"`` (balanced
+    under GC skew; hits are psum'd, so unlike kmerize there is no gather
+    ordering to repair). Shard d holds the panel keys whose owner is d
+    (sentinel-padded to panel_cap; partition_panel must be called with the
+    SAME shard_hash). Read k-mers are routed to their owner shard carrying
+    their global READ-ROW id; each
     shard probes its panel range via the two-word binary search and the
     per-row hit counts are psum'd across shards -- so the sharded scan yields
     the same per-read output surface as the single-chip path (per-sample
@@ -241,7 +245,10 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
     from zotpu.kernels.join import _join_xla
 
     S.check_k(k)
+    if shard_hash not in ("prefix", "mixed"):
+        raise ValueError(f"unknown shard_hash {shard_hash!r}")
     D = mesh.devices.size
+    p_bits = shard_bits(D)
     m_per_read = read_len - k + 1
     m_local = reads_per_chip * m_per_read
     cap = int(np.ceil(m_local * capacity_factor / D))
@@ -256,9 +263,21 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
                + jax.lax.broadcasted_iota(jnp.uint32, (reads_per_chip, 1), 0)
                ).reshape(-1)
         rid = jnp.repeat(rid, m_per_read)
-        hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
-        (rhi, rlo, rrid), overflow = _route(hi, lo, k, D, cap, payload=(rid,),
-                                            capacity2=cap2)
+        if shard_hash == "mixed":
+            mix = S.routing_mix32(hi, lo)
+            mix = jnp.where((hi == SENT32) & (lo == SENT32),
+                            jnp.uint32(0xFFFFFFFF), mix)
+            mix, hi, lo, rid = jax.lax.sort((mix, hi, lo, rid), num_keys=3)
+            owner = (jnp.minimum(mix >> jnp.uint32(32 - p_bits),
+                                 jnp.uint32(D - 1)).astype(jnp.int32)
+                     if p_bits else jnp.zeros(mix.shape, jnp.int32))
+            (rhi, rlo, rrid), overflow = _route(
+                hi, lo, k, D, cap, payload=(rid,), capacity2=cap2,
+                owner=owner)
+        else:
+            hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
+            (rhi, rlo, rrid), overflow = _route(
+                hi, lo, k, D, cap, payload=(rid,), capacity2=cap2)
         # membership = sort-merge join vs this shard's panel range (the
         # round-1 binary search gathered the panel per bisection step; see
         # kernels/join.py). Tags are rid+1 (0 = panel row).
@@ -293,9 +312,24 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
 
 
 def partition_panel(panel_keys: np.ndarray, k: int, n_shards: int,
-                    panel_cap: int | None = None):
-    """Host-side: split a sorted panel into per-shard sentinel-padded rows."""
-    owners = S.shard_of_u64(k, shard_bits(n_shards), panel_keys)
+                    panel_cap: int | None = None,
+                    shard_hash: str = "prefix"):
+    """Host-side: split a sorted panel into per-shard sentinel-padded rows.
+
+    Must use the SAME shard_hash as the pulldown step routing. Each shard's
+    row stays sorted by key (the stable owner sort preserves key order
+    within an owner), as the per-shard join requires."""
+    if shard_hash == "mixed":
+        hi, lo = S.split_hi_lo(panel_keys)
+        p = shard_bits(n_shards)
+        mix = S.routing_mix32(hi, lo)
+        owners = (np.minimum(mix >> np.uint32(32 - p),
+                             np.uint32(n_shards - 1)).astype(np.int64)
+                  if p else np.zeros(len(panel_keys), np.int64))
+        order = np.argsort(owners, kind="stable")
+        panel_keys, owners = panel_keys[order], owners[order]
+    else:
+        owners = S.shard_of_u64(k, shard_bits(n_shards), panel_keys)
     bounds = np.searchsorted(owners, np.arange(n_shards + 1))
     sizes = np.diff(bounds)
     cap = panel_cap or max(int(sizes.max()) if len(sizes) else 1, 8)

@@ -135,7 +135,8 @@ def pulldown_paths(panel_keys: np.ndarray, sample_paths: list[str], k: int,
 
 def pulldown_paths_sharded(panel_keys: np.ndarray, sample_paths: list[str],
                            k: int, n_shards: int, batch_reads: int = 4096,
-                           max_len: int = 256, capacity_factor: float = 4.0):
+                           max_len: int = 256, capacity_factor: float = 4.0,
+                           shard_hash: str = "prefix"):
     """Hash-sharded pulldown (BASELINE config 5): the panel is partitioned by
     key prefix across the mesh, read k-mers are all-to-all routed to their
     owner shard carrying read-row ids, and per-row hits are psum'd back --
@@ -153,10 +154,11 @@ def pulldown_paths_sharded(panel_keys: np.ndarray, sample_paths: list[str],
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
     wire_pack = max_len % 32 == 0
-    phi, plo, cap = shuffle.partition_panel(panel_keys, k, n_shards)
+    phi, plo, cap = shuffle.partition_panel(panel_keys, k, n_shards,
+                                            shard_hash=shard_hash)
     step = shuffle.make_pulldown_step(mesh, k, reads_per_chip, max_len, cap,
                                       capacity_factor=capacity_factor,
-                                      wire=wire_pack)
+                                      wire=wire_pack, shard_hash=shard_hash)
     results = []
     for path in sample_paths:
         agg = RecordAggregator()
