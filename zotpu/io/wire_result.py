@@ -90,3 +90,30 @@ def decode_host(delta32, cnt16, exc_pos, exc_hi, exc_lo, exc_cnt,
         computed = computed + np.cumsum(corr)   # wrapping u64
         counts[ep] = np.asarray(exc_cnt[:n_exc])[keep]
     return computed, counts
+
+
+def transfer_sorted_set(hi, lo, cnt, n: int):
+    """D2H of the first n rows of a dense sorted (hi, lo, cnt) device run.
+
+    Uses the delta+u16 codec when n >= MIN_KEYS and the exception table
+    holds, else the plain 12 B/key transfer. Either way slices to a 1M-row
+    grid: each distinct slice length is its own tiny XLA program and this
+    rig's remote compile service charges seconds per new shape
+    (docs/PERF_NOTES.md round-1 pathology). Returns numpy (u64 keys, u32
+    counts). Shared by the accumulator finalization and the per-batch spill
+    transfers."""
+    from zotpu import semantics as S
+
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, S.COUNT_DTYPE)
+    np_ = min(hi.shape[0], -(-n // (1 << 20)) * (1 << 20))
+    if n >= MIN_KEYS:
+        d32, c16, ep, ehi, elo, ecnt, n_exc = encode_device(hi, lo, cnt)
+        if int(n_exc) <= EXC_CAP:
+            keys, counts = decode_host(
+                np.asarray(d32[:np_]), np.asarray(c16[:np_]),
+                np.asarray(ep), np.asarray(ehi), np.asarray(elo),
+                np.asarray(ecnt), int(n_exc), n)
+            return keys, counts.astype(S.COUNT_DTYPE)
+    keys = S.join_hi_lo(np.asarray(hi[:np_])[:n], np.asarray(lo[:np_])[:n])
+    return keys, np.asarray(cnt[:np_])[:n].astype(S.COUNT_DTYPE)

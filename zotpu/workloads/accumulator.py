@@ -157,28 +157,10 @@ class DeviceAccumulator:
         # one-off dispatch, amortized over the whole run) makes [:n] dense.
         from zotpu.kernels.sortdedup import compact_sorted
         hi, lo, cnt = compact_sorted(hi, lo, cnt)
-        n = int(n)
-        # Slice to a 1M-row grid, not to n: each distinct slice length is its
-        # own tiny XLA program, and this rig's remote compile service charges
-        # seconds per new shape (docs/PERF_NOTES.md round-1 pathology). The
-        # grid bounds distinct shapes to cap/2^20 while over-transferring
-        # < 5 MB of padding.
-        np_ = min(hi.shape[0], -(-max(n, 1) // (1 << 20)) * (1 << 20))
-        if n >= wire_result.MIN_KEYS:
-            # delta+u16 wire transfer: 6 B/key instead of 12 (D2H of the
-            # final set is the largest single tail item on slow links; see
-            # io/wire_result.py). Falls through if the exception table
-            # overflowed (adversarially sparse keys / huge counts).
-            d32, c8, ep, ehi, elo, ecnt, n_exc = wire_result.encode_device(
-                hi, lo, cnt)
-            if int(n_exc) <= wire_result.EXC_CAP:
-                keys, counts = wire_result.decode_host(
-                    np.asarray(d32[:np_]), np.asarray(c8[:np_]),
-                    np.asarray(ep), np.asarray(ehi), np.asarray(elo),
-                    np.asarray(ecnt), int(n_exc), n)
-                return keys, counts.astype(S.COUNT_DTYPE)
-        keys = S.join_hi_lo(np.asarray(hi[:np_])[:n], np.asarray(lo[:np_])[:n])
-        return keys, np.asarray(cnt[:np_])[:n].astype(S.COUNT_DTYPE)
+        # delta+u16 wire transfer, 6 B/key instead of 12 (D2H of the final
+        # set is the largest single tail item on slow links), with the plain
+        # fallback and 1M-grid slicing handled inside.
+        return wire_result.transfer_sorted_set(hi, lo, cnt, int(n))
 
 
 class ShardedAccumulator:

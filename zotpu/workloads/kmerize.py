@@ -164,9 +164,11 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
                 acc = DeviceAccumulator(uhi.shape[0], max_cap=merge_capacity)
             acc.add(uhi, ulo, counts, n)  # no host sync: pipeline stays async
             return
-        n = int(n)
-        keys = S.join_hi_lo(np.asarray(uhi[:n]), np.asarray(ulo[:n]))
-        cnts = np.asarray(counts[:n])
+        # spill mode transfers every batch by design (checkpoint
+        # granularity); ride the same delta+u16 D2H codec as the final
+        # accumulator transfer (io/wire_result.py)
+        from zotpu.io.wire_result import transfer_sorted_set
+        keys, cnts = transfer_sorted_set(uhi, ulo, counts, int(n))
         if run_path is not None:
             container.write(run_path, container.KmerSet(
                 k=k, keys=keys, counts=cnts, meta={"run": bno}))
