@@ -7,86 +7,124 @@ driver-captured artifact carries everything the verdict needs (VERDICT round 1
 item 2): sorted-set-op GB/s, scan probe rate, weak-scaling efficiency, and
 end-to-end (disk -> parse -> device -> merged set) throughput. Progress goes
 to stderr.
+
+Each workload runs in its OWN subprocess with a hard timeout: this rig's TPU
+rides a shared remote tunnel whose weather can stall a single transfer for
+many minutes (docs/PERF_NOTES.md), and a stalled tail workload must not cost
+the driver the already-measured lines. The parent never initializes the TPU
+(only one process may hold the chip); children share the persistent compile
+cache, so the per-child cost is ~20 s of process init.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+
+MARKER = "ZOTPU_BENCH_RESULT "
 
 
 def _emit(rec):
     print(json.dumps(rec), flush=True)
 
 
+def _log(msg):
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
+def run_workload(label: str, body: str, timeout_s: int):
+    """Run one bench workload in a child process; return its result dict.
+
+    ``body`` is python source computing a dict ``r``; the child prints it
+    behind MARKER. Returns None on timeout/crash (logged, never raised --
+    a failed secondary metric must not eat the rest of the artifact).
+    """
+    code = (
+        "import json\n"
+        "from zotpu import runtime\n"
+        "runtime.setup()\n"
+        "import jax\n"
+        "from zotpu.bench import harness\n"
+        + body +
+        f"\nr['device'] = str(jax.devices()[0])\n"
+        f"print({MARKER!r} + json.dumps(r), flush=True)\n"
+    )
+    try:
+        p = subprocess.run([sys.executable, "-u", "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _log(f"{label}: timed out after {timeout_s}s; skipped")
+        return None
+    for line in p.stdout.splitlines():
+        if line.startswith(MARKER):
+            return json.loads(line[len(MARKER):])
+    tail = (p.stderr or "").strip().splitlines()[-3:]
+    _log(f"{label}: no result (rc={p.returncode}); stderr tail: {tail}")
+    return None
+
+
 def main():
-    import jax
-
-    from zotpu import runtime
-    runtime.setup()
-    from zotpu.bench import harness
-
-    dev = str(jax.devices()[0])
     total_bases = int(os.environ.get("ZOTPU_BENCH_BASES", 1 << 25))
     k = int(os.environ.get("ZOTPU_BENCH_K", 25))
+    tmo = int(os.environ.get("ZOTPU_BENCH_TIMEOUT", 1800))
 
-    def log(msg):
-        print(f"bench: {msg}", file=sys.stderr, flush=True)
+    _log(f"kmerize {total_bases} bases k={k}")
+    r = run_workload("kmerize", f"r = harness.bench_kmerize({total_bases}, "
+                     f"k={k}, read_len=256, repeats=3)", tmo)
+    if r:
+        _log(f"kmerize {r['seconds']:.3f}s on {r['device']}")
+        _emit({
+            "metric": "kmerize_bases_per_s",
+            "value": r["bases_per_s"],
+            "unit": "bases/s",
+            "vs_baseline": r["bases_per_s"] / 1e9,
+        })
+        # BASELINE's kmerize target is per HOST; a v5e host has 8 chips and
+        # this rig exposes 1. The sharded path splits the sort by key prefix
+        # (weak scaling; target >=0.8 efficiency, BASELINE metric 3), so the
+        # honest host-level projection is chip_rate x 8 x 0.8 -- labeled as
+        # such.
+        _emit({
+            "metric": "kmerize_bases_per_s_host_projected",
+            "value": r["bases_per_s"] * 8 * 0.8,
+            "unit": "bases/s/host (1-chip rate x 8 chips x 0.8 scaling)",
+            "vs_baseline": r["bases_per_s"] * 8 * 0.8 / 1e9,
+        })
 
-    log(f"kmerize {total_bases} bases k={k} on {dev}")
-    r = harness.bench_kmerize(total_bases, k=k, read_len=256, repeats=3)
-    _emit({
-        "metric": "kmerize_bases_per_s",
-        "value": r["bases_per_s"],
-        "unit": "bases/s",
-        "vs_baseline": r["bases_per_s"] / 1e9,
-    })
-    # BASELINE's kmerize target is per HOST; a v5e host has 8 chips and this
-    # rig exposes 1. The sharded path splits the sort by key prefix (weak
-    # scaling; target >=0.8 efficiency, BASELINE metric 3), so the honest
-    # host-level projection is chip_rate x 8 x 0.8 -- labeled as such.
-    _emit({
-        "metric": "kmerize_bases_per_s_host_projected",
-        "value": r["bases_per_s"] * 8 * 0.8,
-        "unit": "bases/s/host (1-chip rate x 8 chips x 0.8 scaling)",
-        "vs_baseline": r["bases_per_s"] * 8 * 0.8 / 1e9,
-    })
-
-    log(f"kmerize {r['seconds']:.3f}s; setops...")
-    try:
-        # 16M keys/side: a small genome's unique-kmer set; below ~8M/side
-        # the ~25 ms tunnel dispatch latency halves the reported rate
-        s = harness.bench_setops(n=1 << 24, repeats=3)
+    _log("setops...")
+    # 16M keys/side: a small genome's unique-kmer set; below ~8M/side the
+    # ~25 ms tunnel dispatch latency halves the reported rate
+    s = run_workload("setops", "r = harness.bench_setops(n=1 << 24, "
+                     "repeats=3)", tmo)
+    if s:
         _emit({
             "metric": "setops_merge_gb_per_s",
             "value": s["gb_per_s"],
             "unit": "GB/s",
             "vs_baseline": s["gb_per_s"] / 0.98,  # round-1 measured rate
         })
-    except Exception as e:  # a failed secondary metric must not eat the rest
-        log(f"setops failed: {e!r}")
 
-    log("scan...")
-    try:
-        sc = harness.bench_scan(repeats=3, k=k)
+    _log("scan...")
+    sc = run_workload("scan", f"r = harness.bench_scan(repeats=3, k={k})", tmo)
+    if sc:
         _emit({
             "metric": "scan_kmers_per_s",
             "value": sc["kmers_per_s"],
             "unit": "kmers/s",
             "vs_baseline": sc["kmers_per_s"] / 5e8,  # VERDICT target 0.5 G/s
         })
-    except Exception as e:
-        log(f"scan failed: {e!r}")
 
-    log("scaling...")
-    try:
-        rows = harness.bench_scaling(repeats=3)
-        eff = rows[-1]["weak_scaling_efficiency"]
+    _log("scaling...")
+    sl = run_workload("scaling", "rows = harness.bench_scaling(repeats=3)\n"
+                      "r = rows[-1]", tmo)
+    if sl:
+        eff = sl["weak_scaling_efficiency"]
         _emit({
             "metric": "weak_scaling_efficiency",
             "value": eff,
-            "unit": f"t(1)/t({rows[-1]['devices']})",
+            "unit": f"t(1)/t({sl['devices']})",
             "vs_baseline": eff / 0.8,  # BASELINE: >=80% at 2+ hosts
         })
         # One real chip on this rig, so the row above is trivially 1.0.
@@ -97,28 +135,25 @@ def main():
         # the CPU-mesh test suite and the driver's dryrun_multichip; real
         # efficiency needs real chips (BASELINE metric 3 stands unmeasured
         # on this rig, not failed).
-    except Exception as e:
-        log(f"scaling failed: {e!r}")
 
-    log("e2e...")
-    try:
-        # 16x the device-step size (512 Mbase at defaults, ~a small bacterial
-        # WGS run -- BASELINE config 4 is a "full WGS run"): the pipeline has
-        # a fixed ~4 s finalization tail (accumulator level merges + final
-        # compaction + one D2H of the result set) that a short run mistakes
-        # for throughput; 2 passes take the best one -- identical warm runs
-        # vary minutes on this shared tunnel (docs/PERF_NOTES.md "treat E2E
-        # wall-clock as weather").
-        e2e = harness.bench_e2e(total_bases=16 * total_bases, k=k, repeats=2)
+    _log("e2e...")
+    # 8x the device-step size (~268 Mbase at defaults, a small bacterial WGS
+    # run -- BASELINE config 4): the pipeline has a fixed ~4 s finalization
+    # tail (accumulator level merges + final compaction + one D2H of the
+    # result set) that a short run mistakes for throughput; 2 passes take the
+    # best one -- identical warm runs vary minutes on this shared tunnel
+    # (docs/PERF_NOTES.md "treat E2E wall-clock here as weather").
+    e2e = run_workload("e2e", f"r = harness.bench_e2e(total_bases="
+                       f"{8 * total_bases}, k={k}, repeats=2)",
+                       int(os.environ.get("ZOTPU_BENCH_E2E_TIMEOUT", 2700)))
+    if e2e:
         _emit({
             "metric": "kmerize_e2e_bases_per_s",
             "value": e2e["bases_per_s"],
             "unit": "bases/s",
             "vs_baseline": e2e["bases_per_s"] / 1e9,
         })
-    except Exception as e:
-        log(f"e2e failed: {e!r}")
-    log("done")
+    _log("done")
 
 
 if __name__ == "__main__":

@@ -185,9 +185,10 @@ def test_sample_dump_info_verify(tmp_path, rng, capsys):
 
     assert run_cli("dump", p) == 0
     lines = capsys.readouterr().out.strip().splitlines()
-    assert len(lines) == len(keys)
-    kmer0, c0 = lines[0].split("\t")
-    assert G.kmerize_seq(11, kmer0)[0] == keys[0] and int(c0) == counts[0]
+    # every line must match the reference per-key renderer exactly (the CLI
+    # uses a vectorized block renderer)
+    assert lines == [f"{G.decode_kmer(11, int(x))}\t{int(c)}"
+                     for x, c in zip(keys, counts)]
 
     assert run_cli("info", p) == 0
     hdr = json.loads(capsys.readouterr().out)

@@ -102,6 +102,66 @@ def test_container_zlib_codec(tmp_path):
     assert hdr["codec"] == "zlib"
 
 
+def test_container_delta_codec(tmp_path):
+    keys, counts = G.kmerize(13, ["ACGTACGTACGTACGTTTTGGGCCAA" * 4])
+    p = str(tmp_path / "d.zkf")
+    container.write(p, container.KmerSet(k=13, keys=keys, counts=counts),
+                    codec="delta")
+    back = container.read(p)
+    assert np.array_equal(back.keys, keys)
+    assert np.array_equal(back.counts, counts)
+    assert container.read_header(p)["codec"] == "delta"
+
+
+def test_container_delta_codec_exceptions(tmp_path, rng):
+    """Gaps > u32 and counts > u16 must survive via the exception table."""
+    n = 5000
+    # keys spread over the full 62-bit k=31 space: most deltas overflow? no --
+    # force a mix: small dense runs plus huge jumps
+    base = np.sort(rng.integers(0, 1 << 62, size=50, dtype=np.uint64))
+    keys = np.unique((base[:, None]
+                      + np.arange(100, dtype=np.uint64)[None, :]).ravel())
+    counts = rng.integers(1, 100, size=len(keys), dtype=np.uint32)
+    counts[rng.integers(0, len(keys), 37)] = np.uint32(1 << 20)  # u16 overflow
+    p = str(tmp_path / "e.zkf")
+    container.write(p, container.KmerSet(k=31, keys=keys, counts=counts),
+                    codec="delta")
+    back = container.read(p)
+    assert np.array_equal(back.keys, keys)
+    assert np.array_equal(back.counts, counts)
+    assert len(keys) >= n - 100  # the fixture really exercised scale
+
+
+def test_container_delta_codec_kset_and_empty(tmp_path):
+    p = str(tmp_path / "f.zkf")
+    keys = np.array([3, 4, 1 << 61], dtype=np.uint64)
+    container.write(p, container.KmerSet(k=31, keys=keys), codec="delta")
+    back = container.read(p)
+    assert back.counts is None and np.array_equal(back.keys, keys)
+    container.write(p, container.KmerSet(
+        k=31, keys=np.empty(0, np.uint64), counts=np.empty(0, np.uint32)),
+        codec="delta")
+    back = container.read(p)
+    assert back.n == 0 and len(back.counts) == 0
+
+
+def test_container_delta_smaller_than_zlib(tmp_path, rng):
+    """The delta codec should beat zlib-on-raw on a realistic sorted set."""
+    import os as _os
+    # density matters: a real 33M-key k=25 set has mean gap ~2^25; mimic
+    # that ratio (200k keys over 2^43) so deltas fit u32 as in production
+    keys = np.unique(rng.integers(0, 1 << 43, size=200_000, dtype=np.uint64))
+    counts = rng.poisson(30, size=len(keys)).astype(np.uint32) + 1
+    ks = container.KmerSet(k=25, keys=keys, counts=counts)
+    pz, pd = str(tmp_path / "z.zkf"), str(tmp_path / "d.zkf")
+    container.write(pz, ks, codec="zlib")
+    container.write(pd, ks, codec="delta")
+    assert _os.path.getsize(pd) < _os.path.getsize(pz)
+    back = container.read(pd)
+    assert np.array_equal(back.keys, keys)
+    assert np.array_equal(back.counts, counts)
+
+
 def test_fastq_no_trailing_newline(tmp_path):
     """Native and numpy paths must both parse a final unterminated record."""
     p = str(tmp_path / "nt.fastq")

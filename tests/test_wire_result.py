@@ -94,3 +94,30 @@ def test_accumulator_uses_wire_result(monkeypatch):
     gk, gc = G.merge(runs)
     np.testing.assert_array_equal(keys, gk)
     np.testing.assert_array_equal(counts, gc)
+
+
+# ---- shared host delta codec core (io/delta.py) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_delta_core_roundtrip_property(data):
+    """encode/decode (io/delta.py) is exact for ANY sorted unique u64 set +
+    u32 counts -- dense, sparse (all-exception), and mixed densities."""
+    from zotpu.io import delta as D
+
+    n = data.draw(st.integers(0, 300))
+    bits = data.draw(st.integers(1, 62))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    keys = np.unique(rng.integers(0, 1 << bits, size=n, dtype=np.uint64))
+    counts = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
+    has_counts = data.draw(st.booleans())
+    d32, c16, ep, ek, ec = D.encode(keys, counts if has_counts else None)
+    back_k, back_c = D.decode(d32, c16, ep, ek, ec, len(keys))
+    assert np.array_equal(back_k, keys)
+    if has_counts:
+        assert np.array_equal(back_c, counts)
+    else:
+        assert back_c is None

@@ -98,7 +98,7 @@ def cmd_kmerize(args):
             k=args.k, keys=keys, counts=counts,
             meta={"tool": "zotpu kmerize", "inputs": args.inputs,
                   "stats": stats.as_dict()}),
-            codec="zlib" if args.compress else "raw")
+            codec=args.codec or ("zlib" if args.compress else "raw"))
     if logger:
         logger.log("kmerize", **metrics.kmerize_stage_metrics(
             stats, wall, n_chips=stats.n_chips))
@@ -138,7 +138,8 @@ def cmd_merge(args):
         from zotpu.workloads.setops import merge_tree_device
         keys, counts = merge_tree_device(sets)
     container.write(args.output, container.KmerSet(
-        k=k, keys=keys, counts=counts, meta={"tool": "zotpu merge"}))
+        k=k, keys=keys, counts=counts, meta={"tool": "zotpu merge"}),
+        codec=args.codec or "raw")
     print(json.dumps({"command": "merge", "inputs": len(sets), "unique": len(keys)}))
     return 0
 
@@ -156,7 +157,8 @@ def _binary_setop(args, op):
         from zotpu.workloads import setops as WS
         keys, counts = WS.set_op((a.keys, ca), (b.keys, cb), op=op)
     container.write(args.output, container.KmerSet(
-        k=a.k, keys=keys, counts=counts, meta={"tool": f"zotpu {op}"}))
+        k=a.k, keys=keys, counts=counts, meta={"tool": f"zotpu {op}"}),
+        codec=args.codec or "raw")
     print(json.dumps({"command": op, "unique": len(keys)}))
     return 0
 
@@ -234,7 +236,8 @@ def cmd_filter(args):
     mask = counts >= np.uint32(min_count)
     container.write(args.output, container.KmerSet(
         k=ks.k, keys=ks.keys[mask], counts=counts[mask],
-        meta={"tool": "zotpu filter", "min_count": int(min_count)}))
+        meta={"tool": "zotpu filter", "min_count": int(min_count)}),
+        codec=args.codec or "raw")
     print(json.dumps({"command": "filter", "min_count": int(min_count),
                       "kept": int(mask.sum()), "of": int(ks.n)}))
     return 0
@@ -300,7 +303,8 @@ def cmd_probes(args):
     keys, meta = V.build_panel(args.variants, args.reference, args.k)
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=None,
-        meta={"tool": "zotpu probes", **meta}))
+        meta={"tool": "zotpu probes", **meta}),
+        codec=args.codec or "raw")
     print(json.dumps({"command": "probes", "variants": len(args.variants),
                       "probes": len(keys)}))
     return 0
@@ -346,15 +350,29 @@ def cmd_sample(args):
     keys, cnts = G.sample(ks.keys, counts, args.rate, seed=args.seed)
     container.write(args.output, container.KmerSet(
         k=ks.k, keys=keys, counts=cnts,
-        meta={"tool": "zotpu sample", "rate": args.rate, "seed": args.seed}))
+        meta={"tool": "zotpu sample", "rate": args.rate, "seed": args.seed}),
+        codec=args.codec or "raw")
     print(json.dumps({"command": "sample", "kept": len(keys), "of": ks.n}))
     return 0
 
 
 def cmd_dump(args):
     ks, counts = _load_padded(args.input)
-    for key, c in zip(ks.keys, counts):
-        print(f"{G.decode_kmer(ks.k, int(key))}\t{int(c)}")
+    # vectorized text render: the per-key python loop (G.decode_kmer) takes
+    # minutes on a WGS-scale set; this does ~2M rows/s in numpy blocks
+    k = ks.k
+    shifts = np.array([2 * (k - 1 - i) for i in range(k)], np.uint64)
+    out = sys.stdout
+    for lo in range(0, ks.n, 1 << 20):
+        keys = ks.keys[lo:lo + (1 << 20)]
+        codes = (keys[:, None] >> shifts[None, :]) & np.uint64(3)
+        chars = S.DECODE_LUT[codes.astype(np.uint8)]
+        block = np.empty((len(keys), k + 1), np.uint8)
+        block[:, :k] = chars
+        block[:, k] = ord("\t")
+        text = block.tobytes().decode("ascii").split("\t")[:-1]
+        out.write("".join(f"{s}\t{int(c)}\n" for s, c in
+                          zip(text, counts[lo:lo + (1 << 20)])))
     return 0
 
 
@@ -407,6 +425,13 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--batch-reads", type=int, default=4096)
             sp.add_argument("--max-len", type=int, default=256)
 
+    def out_codec(sp):
+        sp.add_argument("--codec", choices=("raw", "zlib", "delta"),
+                        default=None,
+                        help="output container codec; 'delta' stores zlib'd "
+                             "key deltas + u16 counts with an exception "
+                             "table (smallest and fastest compressed form)")
+
     sp = sub.add_parser("kmerize", help="FASTA/FASTQ -> k-mer set with counts")
     sp.add_argument("-k", type=int, required=True, dest="k")
     sp.add_argument("--spill-dir", default=None,
@@ -425,7 +450,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume", action="store_true",
                     help="reuse completed runs in --spill-dir after a crash")
     sp.add_argument("--compress", action="store_true",
-                    help="zlib-compress the output container blobs")
+                    help="zlib-compress the output container blobs "
+                         "(legacy alias for --codec zlib)")
+    out_codec(sp)
     sp.add_argument("--metrics", default=None,
                     help="append JSONL stage metrics to this file")
     sp.add_argument("--trace", default=None,
@@ -446,6 +473,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
     common(sp)
+    out_codec(sp)
     sp.set_defaults(fn=cmd_merge)
 
     for op in ("union", "intersect", "diff"):
@@ -454,6 +482,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("a")
         sp.add_argument("b")
         common(sp)
+        out_codec(sp)
         sp.set_defaults(fn=lambda a, _op=op: _binary_setop(a, _op))
 
     sp = sub.add_parser("jaccard", help="similarity of two or more sets")
@@ -475,6 +504,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-count", type=int, default=None)
     sp.add_argument("--auto", action="store_true",
                     help="derive the threshold from the error-peak cutoff")
+    out_codec(sp)
     sp.set_defaults(fn=cmd_filter)
 
     sp = sub.add_parser("scan", help="panel pulldown over read sets")
@@ -501,6 +531,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HGVS-style specs, e.g. chr1:g.123A>G, "
                          "chr1:g.10_12del, chr1:g.10_11insTT, "
                          "chr1:g.10_12dup, chr1:g.10_12delinsGG")
+    out_codec(sp)
     sp.set_defaults(fn=cmd_probes)
 
     sp = sub.add_parser("evidence",
@@ -527,6 +558,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("output")
     sp.add_argument("input")
+    out_codec(sp)
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("dump", help="print k-mers and counts as text")

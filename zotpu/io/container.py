@@ -10,9 +10,17 @@ Layout (little-endian):
     then         keys blob:   n * u64 sorted canonical k-mers
     then         counts blob: n * u32 (iff has_counts)
 
-codec is "raw" (default) or "zlib" (each blob deflate-compressed and
-length-prefixed with a u64 -- the analog of the reference's compressed
-int-vector encodings; sorted k-mer deltas compress well).
+codec is "raw" (default), "zlib" (each blob deflate-compressed and
+length-prefixed with a u64), or "delta" -- the analog of the reference's
+compressed int-vector encodings: keys are stored as zlib'd u32 deltas and
+counts as zlib'd u16, plus a small exception table for u32-overflowing
+gaps / u16-overflowing counts (exact reconstruction; io/delta.py, the same
+scheme as the D2H wire codec). On real k-mer sets "delta" is both smaller
+and faster to write than "zlib" (it deflates 6 B/key of low-entropy deltas
+instead of 12 B/key of high-entropy raw keys). Caveat: "delta" suits DENSE
+sets (mean key gap < 2^32 -- any real WGS-scale set); a tiny set spread
+over the full key space turns every row into a 20 B exception and comes
+out larger than raw. Decoding is exact in every regime.
 
 The file doubles as the checkpoint format: per-batch sorted runs written with
 ``write`` can be resumed/merged at any time (SURVEY.md section 5,
@@ -54,9 +62,15 @@ class KmerSet:
             raise ValueError("counts length mismatch")
 
 
+def _write_zblob(f, blob: bytes) -> None:
+    z = zlib.compress(blob, level=1)
+    f.write(np.uint64(len(z)).tobytes())
+    f.write(z)
+
+
 def write(path: str, ks: KmerSet, codec: str = "raw") -> None:
     ks.validate()
-    if codec not in ("raw", "zlib"):
+    if codec not in ("raw", "zlib", "delta"):
         raise ValueError(f"unknown codec {codec!r}")
     hdr = json.dumps({
         "k": ks.k, "n": int(ks.n),
@@ -69,16 +83,25 @@ def write(path: str, ks: KmerSet, codec: str = "raw") -> None:
         f.write(MAGIC)
         f.write(np.uint32(len(hdr)).tobytes())
         f.write(hdr)
-        blobs = [np.ascontiguousarray(ks.keys, dtype="<u8").tobytes()]
-        if ks.counts is not None:
-            blobs.append(np.ascontiguousarray(ks.counts, dtype="<u4").tobytes())
-        for blob in blobs:
-            if codec == "zlib":
-                z = zlib.compress(blob, level=1)
-                f.write(np.uint64(len(z)).tobytes())
-                f.write(z)
-            else:
-                f.write(blob)
+        if codec == "delta":
+            from zotpu.io import delta as D
+            d32, c16, exc_pos, exc_key, exc_cnt = D.encode(ks.keys, ks.counts)
+            _write_zblob(f, np.ascontiguousarray(d32, "<u4").tobytes())
+            if c16 is not None:
+                _write_zblob(f, np.ascontiguousarray(c16, "<u2").tobytes())
+            f.write(np.uint32(len(exc_pos)).tobytes())
+            f.write(np.ascontiguousarray(exc_pos, "<u8").tobytes())
+            f.write(np.ascontiguousarray(exc_key, "<u8").tobytes())
+            f.write(np.ascontiguousarray(exc_cnt, "<u4").tobytes())
+        else:
+            blobs = [np.ascontiguousarray(ks.keys, dtype="<u8").tobytes()]
+            if ks.counts is not None:
+                blobs.append(np.ascontiguousarray(ks.counts, dtype="<u4").tobytes())
+            for blob in blobs:
+                if codec == "zlib":
+                    _write_zblob(f, blob)
+                else:
+                    f.write(blob)
     os.replace(tmp, path)
 
 
@@ -99,15 +122,32 @@ def read(path: str) -> KmerSet:
         n = int(hdr["n"])
         codec = hdr.get("codec", "raw")
 
+        def zblob(dtype):
+            (zlen,) = np.frombuffer(f.read(8), dtype="<u8")
+            return np.frombuffer(zlib.decompress(f.read(int(zlen))),
+                                 dtype=dtype)
+
         def blob(dtype):
             if codec == "zlib":
-                (zlen,) = np.frombuffer(f.read(8), dtype="<u8")
-                return np.frombuffer(zlib.decompress(f.read(int(zlen))),
-                                     dtype=dtype)
+                return zblob(dtype)
             return np.fromfile(f, dtype=dtype, count=n)
 
-        keys = blob("<u8")
-        counts = blob("<u4") if hdr["has_counts"] else None
+        if codec == "delta":
+            from zotpu.io import delta as D
+            d32 = zblob("<u4")
+            c16 = zblob("<u2") if hdr["has_counts"] else None
+            (n_exc,) = np.frombuffer(f.read(4), dtype="<u4")
+            n_exc = int(n_exc)
+            exc_pos = np.fromfile(f, dtype="<u8", count=n_exc)
+            exc_key = np.fromfile(f, dtype="<u8", count=n_exc)
+            exc_cnt = np.fromfile(f, dtype="<u4", count=n_exc)
+            if len(d32) != n or len(exc_cnt) != n_exc:
+                raise ValueError(f"{path}: truncated container "
+                                 f"(expected {n} entries, got {len(d32)})")
+            keys, counts = D.decode(d32, c16, exc_pos, exc_key, exc_cnt, n)
+        else:
+            keys = blob("<u8")
+            counts = blob("<u4") if hdr["has_counts"] else None
     if len(keys) != n or (counts is not None and len(counts) != n):
         raise ValueError(f"{path}: truncated container "
                          f"(expected {n} entries, got {len(keys)})")

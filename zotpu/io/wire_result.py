@@ -67,29 +67,20 @@ def decode_host(delta32, cnt16, exc_pos, exc_hi, exc_lo, exc_cnt,
                 n_exc: int, n: int):
     """Exact inverse of encode_device for the first n rows (numpy).
 
-    Reconstruction: computed = cumsum(delta32) treats every delta as valid;
-    each exception j then shifts all following keys by
-    t_j = true_key_j - computed[pos_j] (the cumulative correction after
-    exception j telescopes to exactly t_j), applied as one diff + wrapping
-    u64 cumsum. Counts are patched directly.
+    The telescoping-correction math lives in io/delta.py (shared with the
+    container "delta" codec); this wrapper just joins the (hi, lo) exception
+    key halves and trims the fixed-capacity tables to n_exc.
     """
+    from zotpu.io import delta as D
+
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
-    computed = np.cumsum(delta32[:n], dtype=np.uint64)
-    counts = cnt16[:n].astype(np.uint32)
-    ep = np.asarray(exc_pos[:n_exc]).astype(np.int64)
-    keep = ep < n
-    ep = ep[keep]
-    if len(ep):
-        ekey = (np.asarray(exc_hi[:n_exc])[keep].astype(np.uint64)
-                << np.uint64(32)) | np.asarray(exc_lo[:n_exc])[keep]
-        t = ekey - computed[ep]          # wrapping u64
-        steps = np.diff(t, prepend=np.uint64(0))
-        corr = np.zeros(n, np.uint64)
-        corr[ep] = steps
-        computed = computed + np.cumsum(corr)   # wrapping u64
-        counts[ep] = np.asarray(exc_cnt[:n_exc])[keep]
-    return computed, counts
+    exc_key = (np.asarray(exc_hi[:n_exc]).astype(np.uint64) << np.uint64(32)
+               ) | np.asarray(exc_lo[:n_exc])
+    keys, counts = D.decode(np.asarray(delta32), np.asarray(cnt16),
+                            np.asarray(exc_pos[:n_exc]), exc_key,
+                            np.asarray(exc_cnt[:n_exc]), n)
+    return keys, counts
 
 
 def transfer_sorted_set(hi, lo, cnt, n: int):
