@@ -81,11 +81,26 @@ def main():
             "unit": "bases/s",
             "vs_baseline": r["bases_per_s"] / 1e9,
         })
-        # BASELINE's kmerize target is per HOST; a v5e host has 8 chips and
-        # this rig exposes 1. The sharded path splits the sort by key prefix
-        # (weak scaling; target >=0.8 efficiency, BASELINE metric 3), so the
-        # honest host-level projection is chip_rate x 8 x 0.8 -- labeled as
-        # such.
+    # BASELINE's kmerize target is per HOST; a v5e host has 8 chips and this
+    # rig exposes 1. The projection below comes from the shard-model
+    # workload: every term is measured on this chip -- the FULL sharded
+    # program at D=1 (pack, owner sort, bucket fill, dedup) plus the D=8
+    # receive-side merge tree -- times 8 chips at a conservative 0.8
+    # weak-scaling floor (the same model says 0.8 needs only ~4 GB/s/chip
+    # of ICI, far under v5e ICI, so the floor is pessimistic).
+    _log("shard-model...")
+    sm = run_workload("shard-model", f"r = harness.bench_shard_model("
+                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
+    if sm and "host8_bases_per_s_at_0.8_eff" in sm:
+        _emit({
+            "metric": "kmerize_bases_per_s_host_projected",
+            "value": sm["host8_bases_per_s_at_0.8_eff"],
+            "unit": ("bases/s/host (8 x measured sharded chip step "
+                     "+ measured receive merge tree, 0.8 efficiency floor; "
+                     f"needs {sm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip ICI)"),
+            "vs_baseline": sm["host8_bases_per_s_at_0.8_eff"] / 1e9,
+        })
+    elif r:
         _emit({
             "metric": "kmerize_bases_per_s_host_projected",
             "value": r["bases_per_s"] * 8 * 0.8,

@@ -328,3 +328,35 @@ def test_mixed_hash_sharded_scan_matches_golden(tmp_path):
             capacity_factor=8.0, shard_hash=mode)[0]
         assert np.array_equal(np.asarray(per, np.int64), want), mode
         assert tot == int(want.sum()) and rwh == int((want > 0).sum())
+
+
+def test_merge_received_runs_interpret(rng):
+    """The receive-side streaming merge tree == lax.sort of the same buffer
+    (prefix sharding receive layout: D key-sorted runs of cap, then D runs
+    of cap2, sentinel-padded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zotpu.dist.shuffle import merge_received_runs
+    from zotpu.kernels.pack import SENT32
+    from zotpu.kernels.sort_pallas import TILE_E
+
+    D, cap, cap2 = 2, TILE_E, TILE_E
+
+    def sorted_run(n_valid, cap_r):
+        hi = rng.integers(0, 1 << 18, size=cap_r, dtype=np.uint32)
+        lo = rng.integers(0, 1 << 32, size=cap_r, dtype=np.uint32)
+        key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+        key.sort()
+        key[n_valid:] = np.uint64(0xFFFFFFFFFFFFFFFF)  # sentinel padding
+        return (key >> np.uint64(32)).astype(np.uint32), key.astype(np.uint32)
+
+    parts = [sorted_run(int(rng.integers(0, cap + 1)), cap) for _ in range(D)]
+    parts += [sorted_run(int(rng.integers(0, cap2 // 4)), cap2)
+              for _ in range(D)]
+    rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
+    rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
+    got_h, got_l = merge_received_runs(rhi, rlo, D, cap, cap2, interpret=True)
+    want_h, want_l = jax.lax.sort((rhi, rlo), num_keys=2)
+    assert np.array_equal(np.asarray(got_h), np.asarray(want_h))
+    assert np.array_equal(np.asarray(got_l), np.asarray(want_l))

@@ -577,7 +577,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("bench", help="performance harness")
     sp.add_argument("--workload", default="kmerize",
                     choices=["kmerize", "setops", "setops-sort", "scan",
-                             "scaling", "e2e", "all"])
+                             "scaling", "shard-model", "e2e", "all"])
     sp.add_argument("--bases", type=int, default=1 << 26)
     sp.add_argument("--k", type=int, default=25)
     sp.add_argument("--repeats", type=int, default=3)

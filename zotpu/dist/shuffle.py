@@ -74,34 +74,90 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
         owner = _owner_of(hi, lo, k, p, n_shards)
     valid = ~((hi == SENT32) & (lo == SENT32))
     # owner is non-decreasing (key prefix on sorted keys; sentinels clamp to
-    # the last shard), so bucket fill positions are index - bucket_start.
-    starts = jnp.searchsorted(owner, jnp.arange(n_shards, dtype=jnp.int32))
+    # the last shard), so bucket d's rows are the CONTIGUOUS input slice
+    # [starts[d], starts[d+1]). Bucket fill is therefore D static-size
+    # dynamic slices + a live mask instead of a scatter. (Measured via
+    # `bench --workload shard-model`: the two formulations cost about the
+    # same here -- XLA handles this monotonic scatter well -- but the slice
+    # form guarantees it stays off the 0.13 Gelem/s general-scatter path
+    # and reads as what it is: segment placement.)
+    starts = jnp.searchsorted(owner, jnp.arange(n_shards, dtype=jnp.int32)
+                              ).astype(jnp.int32)
+    sizes = jnp.diff(jnp.concatenate([starts,
+                                      jnp.array([m], jnp.int32)]))
     pos = jnp.arange(m, dtype=jnp.int32) - starts[owner]
 
-    def round_bufs(pos_r, cap_r):
+    def round_bufs(offset: int, cap_r: int):
+        pos_r = pos - offset
         ok = valid & (pos_r >= 0) & (pos_r < cap_r)
-        idx = jnp.where(ok, owner * cap_r + pos_r, n_shards * cap_r)
+        live = (jnp.arange(cap_r, dtype=jnp.int32)[None, :]
+                < (sizes[:, None] - offset))
 
-        def scatter(x, fill):
-            buf = jnp.full(n_shards * cap_r, fill, x.dtype
-                           ).at[idx].set(x, mode="drop")
-            return buf.reshape(n_shards, cap_r)
+        def fill(x, fillv):
+            xp = jnp.concatenate([x, jnp.full(cap_r, fillv, x.dtype)])
+            buf = jnp.stack([
+                jax.lax.dynamic_slice(xp, (starts[d] + offset,), (cap_r,))
+                for d in range(n_shards)])
+            # mask rows past the bucket's segment (they belong to the next
+            # owner); in-bucket sentinel rows are already SENT32 for hi/lo,
+            # and payload channels of sentinel rows are ignored downstream
+            # (the join requires a valid key).
+            return jnp.where(live, buf, fillv)
 
-        send = [scatter(hi, SENT32), scatter(lo, SENT32)]
-        send += [scatter(x, jnp.zeros((), x.dtype)) for x in payload]
+        send = [fill(hi, SENT32), fill(lo, SENT32)]
+        send += [fill(x, jnp.zeros((), x.dtype)) for x in payload]
         recv = [jax.lax.all_to_all(b, AXIS, split_axis=0, concat_axis=0,
                                    tiled=True).reshape(-1) for b in send]
         return recv, jnp.sum(ok.astype(jnp.int32))
 
-    recv, n_ok = round_bufs(pos, capacity)
+    recv, n_ok = round_bufs(0, capacity)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     if capacity2 > 0:
-        recv2, n_ok2 = round_bufs(pos - capacity, capacity2)
+        recv2, n_ok2 = round_bufs(capacity, capacity2)
         recv = [jnp.concatenate([a, b]) for a, b in zip(recv, recv2)]
         overflow = n_valid - n_ok - n_ok2
     else:
         overflow = n_valid - n_ok
     return recv, overflow
+
+
+def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
+                        interpret: bool = False):
+    """Receive-side sort for PREFIX sharding: a streaming merge tree.
+
+    The received buffer is [n_shards runs of cap | n_shards runs of cap2],
+    each run key-sorted (a bucket is a contiguous slice of the sender's
+    key-sorted array; sentinel padding = max key, so runs stay sorted
+    through the fill mask). A full ``lax.sort`` re-sort costs ~0.22 Gkeys/s
+    on TPU; merging already-sorted runs with the streaming engine
+    (kernels/sort_pallas) costs one O(log TILE) pass per level --
+    log2(n_shards) passes -- measured ~20-26 ms per pass at 32M vs ~139 ms
+    for the sort (docs/PERF_NOTES.md). Requires cap, cap2 multiples of
+    TILE_E and n_shards a power of two (make_kmerize_step rounds
+    capacities up when it selects this path). NOT valid for mixed-hash
+    sharding, whose buckets are mix-ordered, not key-ordered.
+    """
+    from zotpu.kernels import sort_pallas as SP
+
+    h1, l1 = rhi[:n_shards * cap], rlo[:n_shards * cap]
+    run = cap
+    while run < n_shards * cap:
+        h1, l1, _ = SP.stream_merge_pass_pallas(h1, l1, None, run,
+                                                interpret=interpret)
+        run *= 2
+    if cap2 == 0:
+        return h1, l1
+    h2, l2 = rhi[n_shards * cap:], rlo[n_shards * cap:]
+    run = cap2
+    while run < n_shards * cap2:
+        h2, l2, _ = SP.stream_merge_pass_pallas(h2, l2, None, run,
+                                                interpret=interpret)
+        run *= 2
+    h = jnp.concatenate([h1, h2])
+    l = jnp.concatenate([l1, l2])
+    h, l, _ = SP.stream_merge_pair_pallas(h, l, None, nA=n_shards * cap,
+                                          interpret=interpret)
+    return h, l
 
 
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
@@ -135,10 +191,24 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     identical (SURVEY.md section 7 "hard parts": measure both).
     """
     S.check_k(k)
+    from zotpu.kernels.dispatch import use_pallas
+
     D = mesh.devices.size
     m_local = reads_per_chip * (read_len - k + 1)
     cap = int(np.ceil(m_local * capacity_factor / D))
     cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
+    # receive-side sort strategy (prefix sharding): the received buffer is
+    # D key-sorted runs, so merge them (merge_received_runs) instead of a
+    # full lax.sort. The streaming kernel needs TILE_E-aligned runs and a
+    # power-of-two D; round capacities up (capacity only moves the overflow
+    # threshold -- output bytes are capacity-invariant, tested).
+    use_tree = (shard_hash == "prefix" and D > 1 and (D & (D - 1)) == 0
+                and use_pallas())
+    if use_tree:
+        from zotpu.kernels.sort_pallas import TILE_E
+        cap = -(-cap // TILE_E) * TILE_E
+        if cap2:
+            cap2 = -(-cap2 // TILE_E) * TILE_E
     cap_out = D * (cap + cap2)
 
     if wire and read_len % 32:
@@ -165,7 +235,12 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
             hi, lo = jax.lax.sort((hi, lo), num_keys=2)
             (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
         routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
-        rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
+        if shard_hash == "prefix" and D == 1 and cap2 == 0:
+            pass         # one bucket run = the sender's sorted array, as-is
+        elif use_tree:
+            rhi, rlo = merge_received_runs(rhi, rlo, D, cap, cap2)
+        else:
+            rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
         if compact:
             uhi, ulo, counts, n = dedup_count_sorted(rhi, rlo)
         else:
