@@ -360,3 +360,104 @@ def test_merge_received_runs_interpret(rng):
     want_h, want_l = jax.lax.sort((rhi, rlo), num_keys=2)
     assert np.array_equal(np.asarray(got_h), np.asarray(want_h))
     assert np.array_equal(np.asarray(got_l), np.asarray(want_l))
+
+
+def test_mixed_owner_embedding_properties(rng):
+    """_mixed_owner_sort embedded form: owner non-decreasing (sentinels
+    clamp to the LAST shard, not -1 -- regression for a signed-cast bug),
+    buckets key-sorted within each owner, and _strip_owner restores the
+    original keys exactly."""
+    import jax.numpy as jnp
+
+    from zotpu import semantics as S
+    from zotpu.dist import shuffle as SH
+    from zotpu.kernels.pack import SENT32
+
+    for k, D in ((25, 8), (11, 4), (16, 2)):
+        p = int(np.log2(D))
+        assert SH._embed_bits(k, p) is not None
+        keys = rng.integers(0, 1 << min(2 * k, 63), size=500).astype(np.uint64)
+        hi0, lo0 = S.split_hi_lo(keys)
+        hi = jnp.concatenate([jnp.asarray(hi0),
+                              jnp.full(12, SENT32, jnp.uint32)])
+        lo = jnp.concatenate([jnp.asarray(lo0),
+                              jnp.full(12, SENT32, jnp.uint32)])
+        khi, klo, owner, _, emb = SH._mixed_owner_sort(hi, lo, k, p, D)
+        assert emb
+        o = np.asarray(owner)
+        assert o.min() >= 0 and o.max() <= D - 1
+        assert np.all(np.diff(o) >= 0)                      # monotone
+        assert np.all(o[-12:] == D - 1)                     # sentinels last
+        shi = np.asarray(SH._strip_owner(khi, klo, k, p))
+        slo = np.asarray(klo)
+        got = S.join_hi_lo(shi, slo)
+        # stripped keys = the original multiset; key-sorted within owners
+        valid = got != np.uint64(0xFFFFFFFFFFFFFFFF)
+        assert sorted(got[valid]) == sorted(keys.tolist())
+        for d in range(D):
+            seg = got[(o == d) & valid]
+            assert np.all(np.diff(seg.astype(np.int64)) >= 0), (k, D, d)
+        # owner matches the canonical mixed-routing function
+        mix = S.routing_mix32(hi0, lo0)
+        expect = np.minimum(mix >> np.uint32(32 - p), np.uint32(D - 1))
+        assert np.array_equal(np.sort(o[:500]), np.sort(expect.astype(o.dtype)))
+
+
+def test_mixed_owner_embedding_fallback():
+    """k=31 x 4 shards cannot embed (30 key bits + 2 owner bits > 31):
+    _mixed_owner_sort falls back to the separate-mix-channel sort and
+    reports tree_ok=False; the sharded kmerize still byte-matches golden."""
+    import jax.numpy as jnp
+
+    from zotpu import semantics as S
+    from zotpu.dist import shuffle as SH
+
+    assert SH._embed_bits(31, 2) is None
+    hi = jnp.asarray(np.array([1, 2, 3], np.uint32))
+    lo = jnp.asarray(np.array([7, 8, 9], np.uint32))
+    *_, emb = SH._mixed_owner_sort(hi, lo, 31, 2, 4)
+    assert not emb
+
+
+def test_mixed_embedded_receive_tree_interpret(rng):
+    """Full mixed-EMBEDDED receive path in interpret mode: owner sort ->
+    bucket layout -> strip -> merge tree == plain sorted set of the input
+    keys (the property the TPU-only use_tree branch relies on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zotpu import semantics as S
+    from zotpu.dist import shuffle as SH
+    from zotpu.kernels.pack import SENT32
+    from zotpu.kernels.sort_pallas import TILE_E
+
+    k, D = 25, 2
+    p = 1
+    cap = TILE_E
+    n_in = D * cap - 2048                    # >8 sigma bucket slack: no overflow
+    keys = rng.integers(0, 1 << 50, size=n_in).astype(np.uint64)
+    hi0, lo0 = S.split_hi_lo(keys)
+    hi = jnp.asarray(hi0)
+    lo = jnp.asarray(lo0)
+    khi, klo, owner, _, emb = SH._mixed_owner_sort(hi, lo, k, p, D)
+    assert emb
+    # bucket layout exactly as _route builds it (single sender, D buckets)
+    o = np.asarray(owner)
+    starts = np.searchsorted(o, np.arange(D))
+    ends = np.append(starts[1:], n_in)
+    rhi = np.full((D, cap), SENT32, np.uint32)
+    rlo = np.full((D, cap), SENT32, np.uint32)
+    for d in range(D):
+        seg = slice(starts[d], ends[d])
+        m = ends[d] - starts[d]
+        assert m <= cap
+        rhi[d, :m] = np.asarray(khi)[seg]
+        rlo[d, :m] = np.asarray(klo)[seg]
+    rhi = jnp.asarray(rhi.reshape(-1))
+    rlo = jnp.asarray(rlo.reshape(-1))
+    shi = SH._strip_owner(rhi, rlo, k, p)
+    got_h, got_l = SH.merge_received_runs(shi, rlo, D, cap, 0, interpret=True)
+    want = np.sort(keys)
+    got = S.join_hi_lo(np.asarray(got_h), np.asarray(got_l))
+    assert np.array_equal(got[:n_in], want)
+    assert np.all(got[n_in:] == np.uint64(0xFFFFFFFFFFFFFFFF))

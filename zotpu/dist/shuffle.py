@@ -35,6 +35,71 @@ from zotpu.kernels.dispatch import pack_canonical
 from zotpu.kernels.sortdedup import dedup_count_sorted, dedup_mark_sorted
 
 
+def _embed_bits(k: int, p: int) -> int | None:
+    """Bit position for embedding the p-bit mixed-routing owner in ``hi``.
+
+    The owner id must sort ABOVE the key bits, so it lives at bit
+    ``bits_hi = max(2k-32, 0)`` of the hi word (hi uses exactly bits_hi real
+    bits). Requires ``bits_hi + p <= 31`` so an embedded real key can never
+    collide with the 0xFFFFFFFF sentinel word; returns None when it cannot
+    (fall back to a separate mix sort channel)."""
+    bits_hi = max(2 * k - 32, 0)
+    if p > 0 and bits_hi + p <= 31:
+        return bits_hi
+    return None
+
+
+def _mixed_owner_sort(hi, lo, k: int, p_bits: int, n_shards: int, payload=()):
+    """Sort rows into owner-contiguous, key-sorted order for MIXED sharding.
+
+    Embeds the owner id (top p bits of the 32-bit routing mix) into spare
+    high bits of ``hi`` so ONE two-word lexicographic sort both groups rows
+    by owner and key-sorts them within each owner -- the same operand count
+    as prefix sharding (the naive form pays a third full-width sort channel
+    for the mix), and the property the receive-side merge tree needs: every
+    bucket is a key-sorted run. Returns (khi, lo, owner, *payload) with the
+    owner still embedded in khi; strip with ``_strip_owner`` after routing.
+
+    Falls back to the separate-mix-channel sort when the owner bits do not
+    fit (large k x many shards); then buckets are key-sorted too (the mix is
+    sorted only as grouping prefix -- key order breaks ties within an owner
+    ONLY if the mix is constant within the bucket, which it is NOT in the
+    fallback, hence the fallback returns tree_ok=False).
+    """
+    sent = (hi == SENT32) & (lo == SENT32)
+    mix = S.routing_mix32(hi, lo)
+    eb = _embed_bits(k, p_bits)
+    if eb is not None:
+        owner_u = jnp.minimum(mix >> jnp.uint32(32 - p_bits),
+                              jnp.uint32(n_shards - 1))
+        khi = jnp.where(sent, jnp.uint32(SENT32),
+                        hi | (owner_u << jnp.uint32(eb)))
+        out = jax.lax.sort((khi, lo) + tuple(payload), num_keys=2)
+        khi, lo = out[0], out[1]
+        # clamp BEFORE the signed cast: a sentinel's khi >> eb is a huge
+        # u32 that must land on the last shard, not wrap to -1
+        owner = jnp.minimum(khi >> jnp.uint32(eb),
+                            jnp.uint32(n_shards - 1)).astype(jnp.int32)
+        return khi, lo, owner, out[2:], True
+    mix = jnp.where(sent, jnp.uint32(0xFFFFFFFF), mix)
+    out = jax.lax.sort((mix, hi, lo) + tuple(payload), num_keys=3)
+    mix, hi, lo = out[0], out[1], out[2]
+    owner = (jnp.minimum(mix >> jnp.uint32(32 - p_bits),
+                         jnp.uint32(n_shards - 1)).astype(jnp.int32)
+             if p_bits else jnp.zeros(mix.shape, jnp.int32))
+    return hi, lo, owner, out[3:], False
+
+
+def _strip_owner(rhi, rlo, k: int, p_bits: int):
+    """Clear embedded owner bits from routed keys (sentinels preserved)."""
+    eb = _embed_bits(k, p_bits)
+    if eb is None or p_bits == 0:
+        return rhi
+    sent = (rhi == SENT32) & (rlo == SENT32)
+    mask = jnp.uint32(~(((1 << p_bits) - 1) << eb) & 0xFFFFFFFF)
+    return jnp.where(sent, jnp.uint32(SENT32), rhi & mask)
+
+
 def _owner_of(hi, lo, k: int, p: int, n_shards: int):
     """Top p bits of the 2k-bit key -> owner shard id (int32).
 
@@ -134,8 +199,11 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
     log2(n_shards) passes -- measured ~20-26 ms per pass at 32M vs ~139 ms
     for the sort (docs/PERF_NOTES.md). Requires cap, cap2 multiples of
     TILE_E and n_shards a power of two (make_kmerize_step rounds
-    capacities up when it selects this path). NOT valid for mixed-hash
-    sharding, whose buckets are mix-ordered, not key-ordered.
+    capacities up when it selects this path). Valid whenever buckets are
+    key-sorted runs: always for prefix sharding, and for mixed sharding in
+    its owner-EMBEDDED form (_mixed_owner_sort with owner bits stripped
+    before this call); NOT for the separate-mix-channel fallback, whose
+    buckets are mix-ordered.
     """
     from zotpu.kernels import sort_pallas as SP
 
@@ -184,8 +252,13 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
 
     ``shard_hash="mixed"`` routes by the top bits of a 32-bit avalanche of
     the key (semantics.routing_mix32) instead of the key prefix: balanced
-    shards regardless of GC-content skew, at the cost of one extra sort
-    channel here and a final sort after gathering (per-shard runs are each
+    shards regardless of GC-content skew. The owner id is EMBEDDED in the
+    key's spare high bits whenever it fits (max(2k-32,0) + log2(D) <= 31,
+    e.g. k=25 up to 8192 shards), so the sender pays the SAME two-operand
+    sort as prefix sharding and the receive side keeps the streaming merge
+    tree; otherwise it falls back to a third full-width mix sort channel +
+    a receive-side lax.sort. Either way the only remaining mixed-mode cost
+    is a final host-side reorder after gathering (per-shard runs are each
     key-sorted, but shard key ranges interleave). A key still maps to
     exactly ONE shard, so duplicates always meet and output bytes are
     identical (SURVEY.md section 7 "hard parts": measure both).
@@ -197,12 +270,19 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     m_local = reads_per_chip * (read_len - k + 1)
     cap = int(np.ceil(m_local * capacity_factor / D))
     cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
-    # receive-side sort strategy (prefix sharding): the received buffer is
-    # D key-sorted runs, so merge them (merge_received_runs) instead of a
-    # full lax.sort. The streaming kernel needs TILE_E-aligned runs and a
-    # power-of-two D; round capacities up (capacity only moves the overflow
-    # threshold -- output bytes are capacity-invariant, tested).
-    use_tree = (shard_hash == "prefix" and D > 1 and (D & (D - 1)) == 0
+    # receive-side sort strategy: the received buffer is D key-sorted runs
+    # -- always true for prefix sharding (a bucket is a contiguous slice of
+    # the sender's key-sorted array), and true for mixed sharding when the
+    # owner id is EMBEDDED in the key's spare high bits (_mixed_owner_sort:
+    # one 2-word sort groups by owner AND key-orders within it) -- so merge
+    # them (merge_received_runs) instead of a full lax.sort. The streaming
+    # kernel needs TILE_E-aligned runs and a power-of-two D; round
+    # capacities up (capacity only moves the overflow threshold -- output
+    # bytes are capacity-invariant, tested).
+    p_pre = shard_bits(D)
+    tree_order_ok = (shard_hash == "prefix"
+                     or _embed_bits(k, p_pre) is not None)
+    use_tree = (tree_order_ok and D > 1 and (D & (D - 1)) == 0
                 and use_pallas())
     if use_tree:
         from zotpu.kernels.sort_pallas import TILE_E
@@ -220,22 +300,17 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
 
     def body(codes, lengths):
         hi, lo, w = pack_canonical(codes, lengths, k)
-        if shard_hash == "mixed":
-            mix = S.routing_mix32(hi, lo)
+        if shard_hash == "mixed" and p_bits > 0:
             # sentinels route to the last shard, weightless (as in prefix)
-            mix = jnp.where((hi == SENT32) & (lo == SENT32),
-                            jnp.uint32(0xFFFFFFFF), mix)
-            mix, hi, lo = jax.lax.sort((mix, hi, lo), num_keys=3)
-            owner = (jnp.minimum(mix >> jnp.uint32(32 - p_bits),
-                                 jnp.uint32(D - 1)).astype(jnp.int32)
-                     if p_bits else jnp.zeros(mix.shape, jnp.int32))
+            hi, lo, owner, _, _ = _mixed_owner_sort(hi, lo, k, p_bits, D)
             (rhi, rlo), overflow = _route(hi, lo, k, D, cap,
                                           capacity2=cap2, owner=owner)
+            rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo = jax.lax.sort((hi, lo), num_keys=2)
             (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
         routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
-        if shard_hash == "prefix" and D == 1 and cap2 == 0:
+        if D == 1 and cap2 == 0:
             pass         # one bucket run = the sender's sorted array, as-is
         elif use_tree:
             rhi, rlo = merge_received_runs(rhi, rlo, D, cap, cap2)
@@ -338,17 +413,13 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
                + jax.lax.broadcasted_iota(jnp.uint32, (reads_per_chip, 1), 0)
                ).reshape(-1)
         rid = jnp.repeat(rid, m_per_read)
-        if shard_hash == "mixed":
-            mix = S.routing_mix32(hi, lo)
-            mix = jnp.where((hi == SENT32) & (lo == SENT32),
-                            jnp.uint32(0xFFFFFFFF), mix)
-            mix, hi, lo, rid = jax.lax.sort((mix, hi, lo, rid), num_keys=3)
-            owner = (jnp.minimum(mix >> jnp.uint32(32 - p_bits),
-                                 jnp.uint32(D - 1)).astype(jnp.int32)
-                     if p_bits else jnp.zeros(mix.shape, jnp.int32))
+        if shard_hash == "mixed" and p_bits > 0:
+            hi, lo, owner, (rid,), _ = _mixed_owner_sort(
+                hi, lo, k, p_bits, D, payload=(rid,))
             (rhi, rlo, rrid), overflow = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2,
                 owner=owner)
+            rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
             (rhi, rlo, rrid), overflow = _route(
