@@ -132,6 +132,16 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     skew (GC-content hot prefixes) degrades gracefully instead of failing the
     run; only entries beyond capacity+capacity2 count as overflow (still
     detected and raised by callers).
+
+    The second round is GATED on a replicated "any sender has leftovers"
+    flag (``psum`` of local leftover counts), so in the steady state -- no
+    bucket anywhere exceeded first-round capacity -- its fill and
+    all_to_all cost nothing but the psum: ``lax.cond`` with a replicated
+    predicate takes the same branch on every device, which keeps the
+    collective inside the taken branch coherent. The skipped branch emits
+    the sentinel-filled buffers the downstream static shapes expect.
+    Returns (recv, overflow, need2) where ``need2`` is the replicated
+    bool flag (False when capacity2 == 0).
     """
     p = shard_bits(n_shards)
     m = hi.shape[0]
@@ -178,12 +188,24 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     recv, n_ok = round_bufs(0, capacity)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     if capacity2 > 0:
-        recv2, n_ok2 = round_bufs(capacity, capacity2)
+        need2 = jax.lax.psum(n_valid - n_ok, AXIS) > 0
+
+        def run2(_):
+            return round_bufs(capacity, capacity2)
+
+        def skip2(_):
+            fills = [SENT32, SENT32] + [jnp.zeros((), x.dtype) for x in payload]
+            bufs = [jnp.full((n_shards * capacity2,), f, dtype=b.dtype)
+                    for f, b in zip(fills, recv)]
+            return bufs, jnp.zeros((), jnp.int32)
+
+        recv2, n_ok2 = jax.lax.cond(need2, run2, skip2, operand=None)
         recv = [jnp.concatenate([a, b]) for a, b in zip(recv, recv2)]
         overflow = n_valid - n_ok - n_ok2
     else:
+        need2 = jnp.zeros((), bool)
         overflow = n_valid - n_ok
-    return recv, overflow
+    return recv, overflow, need2
 
 
 def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
@@ -303,17 +325,33 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         if shard_hash == "mixed" and p_bits > 0:
             # sentinels route to the last shard, weightless (as in prefix)
             hi, lo, owner, _, _ = _mixed_owner_sort(hi, lo, k, p_bits, D)
-            (rhi, rlo), overflow = _route(hi, lo, k, D, cap,
-                                          capacity2=cap2, owner=owner)
+            (rhi, rlo), overflow, need2 = _route(hi, lo, k, D, cap,
+                                                 capacity2=cap2, owner=owner)
             rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-            (rhi, rlo), overflow = _route(hi, lo, k, D, cap, capacity2=cap2)
+            (rhi, rlo), overflow, need2 = _route(hi, lo, k, D, cap,
+                                                 capacity2=cap2)
         routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
         if D == 1 and cap2 == 0:
             pass         # one bucket run = the sender's sorted array, as-is
+        elif use_tree and cap2 == 0:
+            rhi, rlo = merge_received_runs(rhi, rlo, D, cap, 0)
         elif use_tree:
-            rhi, rlo = merge_received_runs(rhi, rlo, D, cap, cap2)
+            # round-2 half gated on the same replicated flag as its fill:
+            # when nothing overflowed the tail is all sentinel (= max key),
+            # so first-round-merged || sentinel-tail is already sorted
+            def tree_full(_):
+                return merge_received_runs(rhi, rlo, D, cap, cap2)
+
+            def tree_first(_):
+                h1, l1 = merge_received_runs(rhi[:D * cap], rlo[:D * cap],
+                                             D, cap, 0)
+                return (jnp.concatenate([h1, rhi[D * cap:]]),
+                        jnp.concatenate([l1, rlo[D * cap:]]))
+
+            rhi, rlo = jax.lax.cond(need2, tree_full, tree_first,
+                                    operand=None)
         else:
             rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
         if compact:
@@ -416,13 +454,13 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         if shard_hash == "mixed" and p_bits > 0:
             hi, lo, owner, (rid,), _ = _mixed_owner_sort(
                 hi, lo, k, p_bits, D, payload=(rid,))
-            (rhi, rlo, rrid), overflow = _route(
+            (rhi, rlo, rrid), overflow, _need2 = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2,
                 owner=owner)
             rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
-            (rhi, rlo, rrid), overflow = _route(
+            (rhi, rlo, rrid), overflow, _need2 = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2)
         # membership = sort-merge join vs this shard's panel range (the
         # round-1 binary search gathered the panel per bisection step; see
