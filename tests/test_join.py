@@ -63,8 +63,8 @@ def test_join_pallas_interpret_matches_xla():
                                      is_probe=True)
     tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
     shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2)
-    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, stag, n_rows,
-                                 interpret=True)
+    bkey_p, hit_tags, tile_hits = J._join_pallas_star(
+        phi_s, plo_s, shi, slo, stag, n_rows, interpret=True)
     bkey_x = J._join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
     rows_p = np.asarray(J._rowsum_by_idx(bkey_p, n_rows, m_per_row))
     rows_x = np.asarray(J._rowsum_by_idx(bkey_x, n_rows, m_per_row))
@@ -72,6 +72,13 @@ def test_join_pallas_interpret_matches_xla():
     want = np.isin(qk, panel_keys)
     want_rows = want.reshape(n_rows, m_per_row).sum(axis=1).astype(np.int32)
     assert np.array_equal(rows_x, want_rows)
+    # the compacted hit-tag epilogue agrees (~14% hit rate fits the per-tile
+    # capacity, so no tile truncates and the sparse path is exact)
+    from zotpu.kernels.sort_pallas import HIT_CAP
+    assert int(np.asarray(tile_hits).max()) <= HIT_CAP
+    assert int(np.asarray(tile_hits).sum()) == int(want_rows.sum())
+    rows_h = np.asarray(J._rowsum_from_hit_tags(hit_tags, n_rows))
+    assert np.array_equal(rows_h, want_rows)
 
 
 def test_join_pallas_sentinel_probes_across_tiles():
@@ -99,8 +106,8 @@ def test_join_pallas_sentinel_probes_across_tiles():
                                      is_probe=True)
     tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
     shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2)
-    bkey_p = J._join_pallas_star(phi_s, plo_s, shi, slo, stag, n_rows,
-                                 interpret=True)
+    bkey_p, _, _ = J._join_pallas_star(phi_s, plo_s, shi, slo, stag, n_rows,
+                                       interpret=True)
     # every probe ROW must appear EXACTLY m_per_row times in the stream
     bk = np.asarray(bkey_p) >> 1
     counts = np.bincount(bk[bk < n_rows], minlength=n_rows)
@@ -143,3 +150,46 @@ def test_join_duplicate_queries_same_key():
         jnp.asarray(phi), jnp.asarray(plo),
         jnp.asarray(qhi), jnp.asarray(qlo), 1, 8))
     assert rows[0] == 5
+
+
+def test_join_hit_compaction_truncation_fallback():
+    """DENSE hits (every query in the panel) overflow the per-tile hit-tag
+    capacity: tile_hits must report it so row_hits_sorted_join's cond takes
+    the bkey fallback -- and the fallback stays exact."""
+    import jax.numpy as jnp
+
+    from zotpu.kernels.sort_pallas import HIT_CAP
+
+    rng = np.random.default_rng(17)
+    n_rows, m_per_row = 64, 512
+    m = n_rows * m_per_row
+    panel_keys = np.unique(rng.integers(0, 1 << 40, 60000).astype(np.uint64))
+    phi, plo = _panel(panel_keys, 65536)
+    qk = panel_keys[rng.integers(0, len(panel_keys), m)]  # 100% hit rate
+    qhi, qlo = S.split_hi_lo(qk)
+    phi_s, plo_s = J._transform_keys(jnp.asarray(phi), jnp.asarray(plo),
+                                     is_probe=False)
+    qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
+                                     is_probe=True)
+    tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
+    shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2,
+                                  is_stable=True)
+    bkey, hit_tags, tile_hits = J._join_pallas_star(
+        phi_s, plo_s, shi, slo, stag, n_rows, interpret=True)
+    assert int(np.asarray(tile_hits).max()) > HIT_CAP  # truncated
+    rows = np.asarray(J._rowsum_by_idx(bkey, n_rows, m_per_row))
+    assert np.array_equal(rows, np.full(n_rows, m_per_row, np.int32))
+
+
+def test_rowsum_from_hit_tags_paths():
+    """Sparse-path aggregation: u16 and i32 tag dtypes, padding excluded."""
+    import jax.numpy as jnp
+
+    for n_rows in (100, 70_000):
+        rng = np.random.default_rng(n_rows)
+        tags = rng.integers(0, n_rows, 5000).astype(np.uint32)
+        padded = np.concatenate([tags, np.full(777, n_rows, np.uint32)])
+        rng.shuffle(padded)
+        got = np.asarray(J._rowsum_from_hit_tags(jnp.asarray(padded), n_rows))
+        want = np.bincount(tags, minlength=n_rows).astype(np.int32)
+        assert np.array_equal(got, want)

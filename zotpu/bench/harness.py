@@ -116,13 +116,26 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
     from zotpu.workloads import pulldown
 
     from zotpu.io import wire
+    from zotpu.reference_impl import golden as G
 
     rng = np.random.default_rng(2)
-    panel = np.unique(rng.integers(0, 1 << (2 * k), panel_size,
-                                   dtype=np.uint64).astype(np.uint64))
+    # Realistic pulldown mix: most reads are background, ~5% come from a
+    # source genome whose k-mers seed part of the panel -- so the measured
+    # step includes live hits flowing through the per-read aggregation (a
+    # zero-hit synthetic would make the sparse fast path trivially cheap).
+    genome = rng.integers(0, 4, size=100_000, endpoint=False).astype(np.uint8)
+    gkeys, _ = G.kmerize(k, [genome])    # golden accepts 2-bit code arrays
+    panel = np.unique(np.concatenate([
+        gkeys, rng.integers(0, 1 << (2 * k), panel_size,
+                            dtype=np.uint64).astype(np.uint64)]))
     phi, plo = pulldown.panel_to_device(panel)
+    codes = _synth_codes(rng, n_reads, read_len)
+    src = n_reads // 20
+    offs = rng.integers(0, len(genome) - read_len, src)
+    for i, off in enumerate(offs):        # every 20th read is genomic
+        codes[i * 20] = genome[off:off + read_len]
     # the production scan ships the 2-bit wire form; measure that step
-    pw, mw = wire.pack_codes(_synth_codes(rng, n_reads, read_len))
+    pw, mw = wire.pack_codes(codes)
     pw, mw = jnp.asarray(pw), jnp.asarray(mw)
     lengths = jnp.full(n_reads, read_len, jnp.int32)
 
@@ -130,7 +143,7 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
         hits = pulldown.scan_batch_wire(pw, mw, lengths, phi, plo, k)
         return int(np.asarray(jnp.sum(hits)))  # host-transfer fence
 
-    step()
+    total_hits = step()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -140,7 +153,7 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
     kmers = n_reads * (read_len - k + 1)
     return {
         "workload": "scan", "k": k, "panel": len(panel),
-        "kmers_probed": kmers, "seconds": dt,
+        "kmers_probed": kmers, "total_hits": total_hits, "seconds": dt,
         "kmers_per_s": kmers / dt,
         "bases_per_s": n_reads * read_len / dt,
     }

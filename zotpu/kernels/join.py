@@ -72,6 +72,22 @@ def _hits_from_merged_star(hi_s, lo_s, tag, tag_pad: int):
     return hit, bkey
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _rowsum_from_hit_tags(hit_tags, n_rows: int):
+    """Per-row hit counts from the kernel's COMPACTED hit tags (sparse-hit
+    path): hit_tags holds each hit probe's row id plus n_rows-valued
+    padding. Sort the (narrow) tags and take per-row occupancy from
+    searchsorted bin edges -- the same scatter-free count-of pattern as
+    kernels/hist.spectrum; cost scales with the hit CAPACITY
+    (n / sort_pallas.HIT_RATIO), not the probe count."""
+    dt = jnp.uint16 if n_rows + 1 < (1 << 16) else jnp.int32
+    t = jnp.minimum(hit_tags, jnp.uint32(n_rows)).astype(dt)
+    (t,) = jax.lax.sort((t,), num_keys=1)
+    bins = jnp.arange(n_rows + 1, dtype=dt)
+    edges = jnp.searchsorted(t, bins, side="left").astype(jnp.int32)
+    return jnp.diff(edges)
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "m_per_row"))
 def _rowsum_by_idx(bkey, n_rows: int, m_per_row: int):
     """One keys-only sort of row*2+hit: each probe row id appears exactly
@@ -132,7 +148,9 @@ def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_tag: int,
     (key*, tag)-sorted: the panel's tag is constant and the probe fwd sort
     is lax.sort's default STABLE sort over non-decreasing row ids. Rows
     with identical (key*, tag) triples may still tie, but identical rows
-    produce identical bkey, so any resolution is byte-equal."""
+    produce identical bkey, so any resolution is byte-equal.
+
+    Returns the stream_join_pair_pallas triple (bkey, hit_tags, tile_hits)."""
     from zotpu.kernels.setops_merge import _next_pow2
     from zotpu.kernels.sort_pallas import TILE_E, stream_join_pair_pallas
 
@@ -206,7 +224,19 @@ def row_hits_sorted_join(phi, plo, qhi, qlo, n_rows: int, m_per_row: int):
         # non-decreasing row ids provides for free.
         qhi_s, qlo_s, tag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2,
                                          is_stable=True)
-        bkey = _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
-    else:
-        bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
+        bkey, hit_tags, tile_hits = _join_pallas_star(
+            phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
+        # sparse-hit fast path: every tile's hits fit its packed block, so
+        # per-read aggregation sorts the small hit-tag array; otherwise the
+        # dense fallback backward-sorts all bkeys. Both branches are traced,
+        # one runs (single-device cond; the common pulldown case -- a small
+        # panel screened against many reads -- is sparse).
+        from zotpu.kernels.sort_pallas import HIT_CAP
+        truncated = jnp.any(tile_hits > jnp.int32(HIT_CAP))
+        return jax.lax.cond(
+            truncated,
+            lambda _: _rowsum_by_idx(bkey, n_rows, m_per_row),
+            lambda _: _rowsum_from_hit_tags(hit_tags, n_rows),
+            operand=None)
+    bkey = _join_xla_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_rows)
     return _rowsum_by_idx(bkey, n_rows, m_per_row)

@@ -469,14 +469,17 @@ def _extract_u32(mask, v):
     return s.astype(jnp.uint32)
 
 
-def _make_join_stream_kernel(n_tag: int):
+def _make_join_stream_kernel(n_tag: int, hit_rows: int):
     nch = 3          # hi*, lo*, tag -- all three comparator keys (join fix)
 
     def kernel(scal_ref, *refs):
+        from zotpu.kernels.merge_fused import _butterfly_pack
+
         ins = refs[:nch]
         out = refs[nch]
-        wins = refs[nch + 1:nch + 1 + 2 * nch]
-        sems = refs[nch + 1 + 2 * nch]
+        hits_out = refs[nch + 1]     # per-tile block: packed hit tags
+        wins = refs[nch + 2:nch + 2 + 2 * nch]
+        sems = refs[nch + 2 + 2 * nch]
         ckey = refs[-2]          # SMEM (2,) u32: prev element's hi*, lo*>>1
         clead = refs[-1]         # SMEM (1,) i32: running lead
         t = pl.program_id(0)
@@ -523,6 +526,24 @@ def _make_join_stream_kernel(n_tag: int):
         tag_c = jnp.where(tag_o > np_u, np_u, tag_o)
         out[:] = (tag_c << 1) | hit.astype(jnp.uint32)
 
+        # hit-tag COMPACTION epilogue: butterfly-pack the hit rows' tags to
+        # the front of the tile and emit the first hit_rows rows into this
+        # tile's fixed output block. The block's LAST slot carries the
+        # tile's hit count instead of a tag (Mosaic rejects a separate
+        # (1, LANES) count block: the sublane dim must be 8-divisible), so
+        # the caller can detect per-tile truncation and fall back; tag
+        # capacity is hit_rows*LANES - 1 = HIT_CAP. Sparse-hit scans then
+        # aggregate per read over ~n/ratio packed tags instead of
+        # backward-sorting all n bkeys (kernels/join.row_hits_sorted_join).
+        (ptag,) = _butterfly_pack((tag_c,), hit)
+        nhit = jnp.sum(hit.astype(jnp.int32))
+        opos = row * LANES + lane
+        ptag = jnp.where(opos < nhit, ptag, np_u)   # pad tags sink downstream
+        lastslot = ((row[:hit_rows] == hit_rows - 1)
+                    & (lane[:hit_rows] == LANES - 1))
+        hits_out[:] = jnp.where(lastslot, nhit.astype(jnp.uint32),
+                                ptag[:hit_rows])
+
         lastm = (row == TILE_R - 1) & (lane == LANES - 1)
         ckey[0] = _extract_u32(lastm, hi_o)
         ckey[1] = _extract_u32(lastm, klo)
@@ -531,16 +552,32 @@ def _make_join_stream_kernel(n_tag: int):
     return kernel
 
 
+HIT_RATIO = 8                            # hit block = TILE_E / HIT_RATIO slots
+HIT_CAP = TILE_E // HIT_RATIO - 1        # tag capacity (last slot = count)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nA", "n_tag", "interpret"))
 def stream_join_pair_pallas(hi, lo, tag, nA: int, n_tag: int,
                             interpret: bool = False):
     """Fused merge+hit for the membership join: A = [:nA] the transformed
     panel, B = [nA:] the (key*, tag)-sorted transformed probes (both
-    multiples of TILE_E). Returns bkey = min(tag, n_tag)*2 + hit per
-    merged element, ready for kernels/join._rowsum_by_idx."""
+    multiples of TILE_E). Returns (bkey, hit_tags, tile_hits):
+
+    - bkey = min(tag, n_tag)*2 + hit per merged element, ready for
+      kernels/join._rowsum_by_idx (the dense-hit fallback);
+    - hit_tags (ntiles * TILE_E/HIT_RATIO,): each tile's hit rows' tags
+      butterfly-packed into a fixed per-tile block, n_tag-padded (the
+      in-kernel count slot is re-padded here) -- the SPARSE-hit product:
+      aggregating per read over these costs a sort of n/HIT_RATIO narrow
+      keys instead of n;
+    - tile_hits (ntiles,) i32: per-tile hit counts; a tile with
+      tile_hits > HIT_CAP truncated its block, so the caller must use
+      bkey instead (kernels/join.row_hits_sorted_join conds on it).
+    """
     n = hi.shape[0]
     ntiles = n // TILE_E
+    hit_rows = TILE_R // HIT_RATIO
     scal = _pair_scalars(hi, lo, nA)
     chans = [_pad_chan(hi, jnp.uint32(0xFFFFFFFF)),
              _pad_chan(lo, jnp.uint32(0xFFFFFFFF)),
@@ -548,21 +585,28 @@ def stream_join_pair_pallas(hi, lo, tag, nA: int, n_tag: int,
 
     out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
                             memory_space=pltpu.VMEM)
+    hits_spec = pl.BlockSpec((hit_rows, LANES), lambda t, s: (t, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=[out_spec],
+        out_specs=[out_spec, hits_spec],
         scratch_shapes=[
             pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(6)
         ] + [pltpu.SemaphoreType.DMA((6,)),
              pltpu.SMEM((2,), jnp.uint32),
              pltpu.SMEM((1,), jnp.int32)],
     )
-    (out,) = pl.pallas_call(
-        _make_join_stream_kernel(n_tag),
+    out, hits = pl.pallas_call(
+        _make_join_stream_kernel(n_tag, hit_rows),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)],
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((ntiles * hit_rows, LANES),
+                                        jnp.uint32)],
         interpret=interpret,
     )(scal, *chans)
-    return out.reshape(-1)
+    blk = hits.reshape(ntiles, hit_rows * LANES)
+    tile_hits = blk[:, -1].astype(jnp.int32)
+    hit_tags = blk.at[:, -1].set(jnp.uint32(n_tag)).reshape(-1)
+    return out.reshape(-1), hit_tags, tile_hits
