@@ -539,10 +539,17 @@ def _make_join_stream_kernel(n_tag: int, hit_rows: int):
         nhit = jnp.sum(hit.astype(jnp.int32))
         opos = row * LANES + lane
         ptag = jnp.where(opos < nhit, ptag, np_u)   # pad tags sink downstream
-        lastslot = ((row[:hit_rows] == hit_rows - 1)
-                    & (lane[:hit_rows] == LANES - 1))
+        # Stage the full packed tile in VMEM and load back the block-sized
+        # head: slicing the REGISTER value ([:hit_rows] of a (TILE_R, LANES)
+        # vector) crashes the Mosaic lowering ("limits[i] <= dim(i) (4 vs.
+        # 1)" in PrepareOutput) -- ref slices of the same shape are fine.
+        pscr = wins[0]                     # window 0 is dead post-merge
+        pscr[:TILE_R] = ptag
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (hit_rows, LANES), 0)
+        hlane = jax.lax.broadcasted_iota(jnp.int32, (hit_rows, LANES), 1)
+        lastslot = (hrow == hit_rows - 1) & (hlane == LANES - 1)
         hits_out[:] = jnp.where(lastslot, nhit.astype(jnp.uint32),
-                                ptag[:hit_rows])
+                                pscr[:hit_rows])
 
         lastm = (row == TILE_R - 1) & (lane == LANES - 1)
         ckey[0] = _extract_u32(lastm, hi_o)
