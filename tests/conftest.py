@@ -15,6 +15,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Isolate the persistent compile cache from the production one
+# (~/.cache/zotpu_jax): CLI-driving tests call runtime.setup(), and a test
+# run killed mid-cache-write once corrupted an entry that a later process
+# SEGFAULTED deserializing. Tests get their own nukable directory; the
+# TPU entries (minutes per compile through the tunnel) stay untouched.
+os.environ.setdefault("ZOTPU_JAX_CACHE",
+                      os.path.expanduser("~/.cache/zotpu_jax_cpu_tests"))
 
 import jax
 

@@ -193,3 +193,35 @@ def test_rowsum_from_hit_tags_paths():
         got = np.asarray(J._rowsum_from_hit_tags(jnp.asarray(padded), n_rows))
         want = np.bincount(tags, minlength=n_rows).astype(np.int32)
         assert np.array_equal(got, want)
+
+
+def test_join_pallas_tile_rounded_non_pow2():
+    """Panel and probe sides pad to TILE_E MULTIPLES (not pow2): a 3-tile
+    probe side with a 49152-cap panel must stay exact (interpret mode)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    n_rows, m_per_row = 96, 1024        # 98304 probes = 3 tiles
+    m = n_rows * m_per_row
+    panel_keys = np.unique(rng.integers(0, 1 << 44, 40000).astype(np.uint64))
+    phi, plo = _panel(panel_keys, 49152)
+    qk = rng.integers(0, 1 << 44, m).astype(np.uint64)
+    qk[::9] = panel_keys[rng.integers(0, len(panel_keys), len(qk[::9]))]
+    qhi, qlo = S.split_hi_lo(qk)
+    phi_s, plo_s = J._transform_keys(jnp.asarray(phi), jnp.asarray(plo),
+                                     is_probe=False)
+    qhi_s, qlo_s = J._transform_keys(jnp.asarray(qhi), jnp.asarray(qlo),
+                                     is_probe=True)
+    tag = jnp.repeat(jnp.arange(n_rows, dtype=jnp.uint32), m_per_row)
+    shi, slo, stag = jax.lax.sort((qhi_s, qlo_s, tag), num_keys=2,
+                                  is_stable=True)
+    bkey, hit_tags, tile_hits = J._join_pallas_star(
+        phi_s, plo_s, shi, slo, stag, n_rows, interpret=True)
+    want = np.isin(qk, panel_keys).reshape(n_rows, m_per_row).sum(
+        axis=1).astype(np.int32)
+    rows = np.asarray(J._rowsum_by_idx(bkey, n_rows, m_per_row))
+    assert np.array_equal(rows, want)
+    from zotpu.kernels.sort_pallas import HIT_CAP
+    if int(np.asarray(tile_hits).max()) <= HIT_CAP:
+        rows_h = np.asarray(J._rowsum_from_hit_tags(hit_tags, n_rows))
+        assert np.array_equal(rows_h, want)

@@ -404,6 +404,43 @@ def cmd_verify(args):
     return 1
 
 
+def cmd_casket(args):
+    """Named-member containers (reference analog: the casket container
+    layer, SURVEY.md section 2a). Members are complete ZKF streams; every
+    reading command accepts 'casket.zkc#member' addressing."""
+    if args.verb == "ls":
+        print(json.dumps({"file": args.casket,
+                          **container.casket_toc(args.casket)}))
+        return 0
+    if args.verb == "new":
+        members = []
+        for spec in args.members:
+            name, _, src = spec.partition("=")
+            if not name or not src:
+                raise ValueError(f"member spec {spec!r} is not NAME=SET.zkf")
+            members.append((name, container.read(src)))
+        ks = [m[1].k for m in members]
+        if len(set(ks)) > 1:
+            raise ValueError(f"K mismatch across members: {sorted(set(ks))}")
+        container.casket_write(args.casket, members,
+                               codec=args.codec or "raw")
+        print(json.dumps({"file": args.casket,
+                          "members": [m[0] for m in members]}))
+        return 0
+    if args.verb == "add":
+        container.casket_add(args.casket, args.name, container.read(args.source),
+                             codec=args.codec or "raw")
+        print(json.dumps({"file": args.casket, "added": args.name}))
+        return 0
+    if args.verb == "extract":
+        container.write(args.output, container.casket_read(args.casket, args.name),
+                        codec=args.codec or "raw")
+        print(json.dumps({"file": args.output, "from": args.casket,
+                          "member": args.name}))
+        return 0
+    raise AssertionError(args.verb)
+
+
 def cmd_bench(args):
     from zotpu.bench import harness
     return harness.run(args)
@@ -573,6 +610,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("a")
     sp.add_argument("b")
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("casket", help="named-member containers; reading "
+                        "commands accept CASKET.zkc#member everywhere")
+    cs = sp.add_subparsers(dest="verb", required=True)
+    c = cs.add_parser("ls", help="print the member table")
+    c.add_argument("casket")
+    c.set_defaults(fn=cmd_casket)
+    c = cs.add_parser("new", help="build a casket from NAME=SET.zkf specs")
+    c.add_argument("casket")
+    c.add_argument("members", nargs="+", metavar="NAME=SET.zkf")
+    out_codec(c)
+    c.set_defaults(fn=cmd_casket)
+    c = cs.add_parser("add", help="add or replace one member")
+    c.add_argument("casket")
+    c.add_argument("name")
+    c.add_argument("source", help="a ZKF file or CASKET#member")
+    out_codec(c)
+    c.set_defaults(fn=cmd_casket)
+    c = cs.add_parser("extract", help="copy a member out to a ZKF file")
+    c.add_argument("casket")
+    c.add_argument("name")
+    c.add_argument("output")
+    out_codec(c)
+    c.set_defaults(fn=cmd_casket)
 
     sp = sub.add_parser("bench", help="performance harness")
     sp.add_argument("--workload", default="kmerize",

@@ -150,12 +150,28 @@ def _join_pallas_star(phi_s, plo_s, qhi_s, qlo_s, tag, n_tag: int,
     with identical (key*, tag) triples may still tie, but identical rows
     produce identical bkey, so any resolution is byte-equal.
 
-    Returns the stream_join_pair_pallas triple (bkey, hit_tags, tile_hits)."""
-    from zotpu.kernels.setops_merge import _next_pow2
+    Returns the stream_join_pair_pallas triple (bkey, hit_tags, tile_hits).
+
+    Sides pad to TILE_E multiples, not powers of two (the merge-path
+    partition handles any tile-aligned sizes): a 1.15M-key panel merges
+    1.16M panel elements instead of 2M.
+
+    Batch segmentation was tried and REJECTED (round 2.6 A/B, TPU v5e,
+    30.4M probes): cutting the probe batch into S row blocks with
+    per-segment batched sorts + per-segment merges against the shared
+    panel measured SLOWER at every feasible S -- the batched 3-operand
+    stable lax.sort does not get the short-row discount the 2-operand
+    keys-only micro showed (flat 139 ms; (14, 2.2M) 161 ms; (4, 7.6M)
+    193 ms; a (1, n) batched layout is catastrophic at 873 ms) and every
+    segment re-merges the full panel. The flat sort + one merge is the
+    floor."""
     from zotpu.kernels.sort_pallas import TILE_E, stream_join_pair_pallas
 
-    MA = max(_next_pow2(phi_s.shape[0]), TILE_E)
-    MB = max(_next_pow2(qhi_s.shape[0]), TILE_E)
+    def _round_tile(n):
+        return max(-(-n // TILE_E) * TILE_E, TILE_E)
+
+    MA = _round_tile(phi_s.shape[0])
+    MB = _round_tile(qhi_s.shape[0])
 
     def pad(x, M, fill):
         return jnp.concatenate([x, jnp.full(M - x.shape[0], fill,
