@@ -123,3 +123,36 @@ def test_scan_panel():
     assert hits[0] == 1
     assert hits[1] == 0
     assert hits[2] == 1  # TACGT rc = ACGTA -> canonical matches panel
+
+
+def test_ham_lcp_popcnt_brute():
+    """SWAR bit utilities vs per-base string brute force."""
+    rng = np.random.default_rng(9)
+    for k in (3, 11, 25, 31):
+        n = 300
+        a = rng.integers(0, 1 << (2 * k), n).astype(np.uint64)
+        b = a.copy()
+        # mutate a random subset of bases in b
+        for i in range(n):
+            for _ in range(int(rng.integers(0, 4))):
+                pos = int(rng.integers(0, k))
+                code = np.uint64(rng.integers(0, 4))
+                sh = np.uint64(2 * (k - 1 - pos))
+                b[i] = (b[i] & ~(np.uint64(3) << sh)) | (code << sh)
+        sa = [G.decode_kmer(k, int(x)) for x in a]
+        sb = [G.decode_kmer(k, int(x)) for x in b]
+        want_ham = np.array([sum(c1 != c2 for c1, c2 in zip(x, y))
+                             for x, y in zip(sa, sb)])
+        got_ham = S.ham_u64(a, b)
+        assert np.array_equal(got_ham, want_ham)
+
+        def lcp_str(x, y):
+            for i, (c1, c2) in enumerate(zip(x, y)):
+                if c1 != c2:
+                    return i
+            return k
+        want_lcp = np.array([lcp_str(x, y) for x, y in zip(sa, sb)])
+        assert np.array_equal(S.lcp_u64(k, a, b), want_lcp)
+    x = rng.integers(0, 1 << 63, 500).astype(np.uint64)
+    assert np.array_equal(S.popcnt_u64(x),
+                          [bin(int(v)).count("1") for v in x])

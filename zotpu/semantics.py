@@ -131,6 +131,53 @@ def murmur_mix_u64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
+# --- bit-trick utilities ----------------------------------------------------
+# Reference analog: pykmer basics.ham/lcp and bits.popcnt (SURVEY.md section
+# 2a "bit tricks"; unverified -- empty reference mount). Vectorized SWAR over
+# u64 numpy arrays; host-side helpers (probe diagnostics, tests) -- the hot
+# kernels never need them.
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+
+
+def popcnt_u64(x: np.ndarray) -> np.ndarray:
+    """Per-element set-bit count (SWAR)."""
+    x = np.asarray(x, np.uint64)
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def ham_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamming distance in BASES between equal-k packed k-mers: a 2-bit
+    field differs iff either of its bits differs (fold XOR onto the low
+    bit of each field, popcount)."""
+    d = np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)
+    return popcnt_u64((d | (d >> np.uint64(1))) & _M1)
+
+
+def lcp_u64(k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Longest common BASE prefix of two packed k-mers (big-endian packing:
+    the first base is the top 2-bit field)."""
+    check_k(k)
+    d = np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)
+    d = (d | (d >> np.uint64(1))) & _M1        # one marker bit per base
+    nz = d != 0
+    # highest set marker bit -> index of the first differing base
+    top = np.zeros_like(d, dtype=np.int64)
+    dd = d.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = dd >= (np.uint64(1) << np.uint64(s))
+        top[m] += s
+        dd[m] >>= np.uint64(s)
+    first_diff = np.where(nz, k - 1 - (top >> 1), k)
+    return first_diff.astype(np.int64)
+
+
 def saturating_add_counts(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """u32 + u32 with saturation at COUNT_MAX (the count overflow policy)."""
     s = a.astype(np.uint64) + b.astype(np.uint64)
