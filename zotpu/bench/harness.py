@@ -401,7 +401,25 @@ def bench_e2e(total_bases: int = 1 << 25, k: int = 25, read_len: int = 128,
                                   max_len=read_len, stats=stats)
             times.append(time.perf_counter() - t0)
         dt = min(times)
+    # Raw host->device link bandwidth, measured with the same transfer the
+    # pipeline issues (a wire-packed batch): on a tunneled rig the link --
+    # NOT the device step -- caps e2e at link_bw / 0.375 B-per-base, and
+    # reporting that ceiling separates tunnel weather from pipeline loss
+    # (on a local-PCIe host the ceiling is ~100x higher and e2e approaches
+    # the device-step rate).
+    import jax
+    import jax.numpy as jnp
+    buf = np.frombuffer(rng.bytes(32 << 20), np.uint8)
+    jax.device_put(buf[:1024]).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    up = time.perf_counter() - t0
+    link = len(buf) / up
+    ceiling = link / 0.375          # 2-bit wire form ships 0.375 B/base
     return {
         "workload": "kmerize_e2e", "bases": stats.bases, "seconds": dt,
         "bases_per_s": stats.bases / dt, "unique": len(out[0]),
+        "h2d_link_bytes_per_s": link,
+        "link_bases_per_s_ceiling": ceiling,
+        "fraction_of_link_ceiling": (stats.bases / dt) / ceiling,
     }
