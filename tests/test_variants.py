@@ -31,8 +31,11 @@ def test_parse_variants():
     assert (v.start, v.end, v.ref, v.alt) == (10, 10, "", "TTG")
     v = V.parse_variant("c:g.10_12delinsGG")
     assert (v.start, v.end, v.alt) == (9, 12, "GG")
+    v = V.parse_variant("c:g.10_12inv")
+    assert (v.start, v.end, v.alt, v.op) == (9, 12, None, "inv")
     for bad in ("nonsense", "c:g.5_3del", "c:g.10_15insAA", "c:g.10insA",
-                "c:g.5_6A>G", "c:g.10_12delAA", "c:g.3_4delins"):
+                "c:g.5_6A>G", "c:g.10_12delAA", "c:g.3_4delins",
+                "c:g.10_12invAA"):
         with pytest.raises(ValueError):
             V.parse_variant(bad)
 
@@ -52,6 +55,32 @@ def test_resolve_checks_reference(ref):
         V.resolve_variant(V.parse_variant("chr1:g.100000A>G"), refs)
     dup = V.resolve_variant(V.parse_variant("chr1:g.100_102dup"), refs)
     assert dup.alt == seq[99:102] * 2
+    inv = V.resolve_variant(V.parse_variant("chr1:g.100_120inv"), refs)
+    span = seq[99:120].upper()
+    assert inv.ref == span
+    assert inv.alt == span.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    assert len(V.apply_variant(seq, inv)) == len(seq)
+
+
+def test_inversion_probes_are_junction_kmers(ref):
+    # An inverted span's interior k-mers CANONICALIZE to the reference's own
+    # (revcomp is identity under min(fwd, rc)), so the discriminating alt
+    # probes must come from the breakpoint junctions only -- and exist.
+    path, seq = ref
+    refs = V.load_reference(path)
+    k = 15
+    v = V.resolve_variant(V.parse_variant("chr1:g.200_260inv"), refs)
+    ref_p, alt_p = V.probe_kmers(v, refs, k)
+    assert len(alt_p) >= 1
+    alt_genome = V.apply_variant(seq, v)
+    alt_all = np.unique(G.kmerize_seq(k, alt_genome))
+    ref_all = np.unique(G.kmerize_seq(k, seq))
+    assert np.all(np.isin(alt_p, alt_all))
+    assert not np.any(np.isin(alt_p, ref_all))
+    # interior k-mers (fully inside the inverted span, away from junctions)
+    # are shared with the reference: check one
+    interior = np.unique(G.kmerize_seq(k, seq[220:240]))
+    assert np.all(np.isin(interior, alt_all))
 
 
 def test_probe_kmers_cover_the_edit(ref):

@@ -567,7 +567,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("variants", nargs="+",
                     help="HGVS-style specs, e.g. chr1:g.123A>G, "
                          "chr1:g.10_12del, chr1:g.10_11insTT, "
-                         "chr1:g.10_12dup, chr1:g.10_12delinsGG")
+                         "chr1:g.10_12dup, chr1:g.10_12delinsGG, "
+                         "chr1:g.10_12inv")
     out_codec(sp)
     sp.set_defaults(fn=cmd_probes)
 

@@ -5,7 +5,8 @@ section 2a "HGVS/clinical tools": generate variant k-mer probes from HGVS
 descriptions, find evidence for variants in raw reads, spike simulated
 variant reads). The reference mount was empty, so the exact HGVS dialect
 could not be verified; this module implements the standard genomic-HGVS
-core -- substitution, deletion, insertion, duplication, delins -- against a
+core -- substitution, deletion, insertion, duplication, delins, inversion --
+against a
 user-supplied reference FASTA, which covers the documented capability
 (probe generation -> read evidence -> simulation) end to end.
 
@@ -17,6 +18,7 @@ sequence):
     SEQ:g.123_124insTTG     insertion between 123 and 124
     SEQ:g.123_125dup        duplication (also g.123dup)
     SEQ:g.123_125delinsGGC  deletion-insertion
+    SEQ:g.123_125inv        inversion (span replaced by its reverse complement)
 
 Probe model: the k-mers whose windows OVERLAP the edited bases -- k-1 bases
 of flanking context on each side -- computed on the reference allele (ref
@@ -39,7 +41,9 @@ from zotpu.reference_impl import golden as G
 _VAR_RE = re.compile(
     r"^(?P<seq>[^:]+):g\.(?P<a>\d+)(?:_(?P<b>\d+))?"
     r"(?:(?P<sub>[ACGTacgt])>(?P<alt>[ACGTacgt])"
-    r"|(?P<op>del|dup|ins|delins)(?P<arg>[ACGTacgt]*))$")
+    r"|(?P<op>del|dup|ins|delins|inv)(?P<arg>[ACGTacgt]*))$")
+
+_RC = str.maketrans("ACGT", "TGCA")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,7 +53,9 @@ class Variant:
     start: int         # 0-based inclusive start of the affected ref span
     end: int           # 0-based exclusive end of the affected ref span
     ref: str           # replaced reference bases ("" for pure insertion)
-    alt: str           # replacement bases ("" for pure deletion)
+    alt: str           # replacement bases ("" for pure deletion); None until
+                       # resolve for ops derived from the ref span (dup, inv)
+    op: str = ""       # which ref-span-derived op fills alt ("dup" | "inv")
 
 
 def parse_variant(spec: str) -> Variant:
@@ -58,7 +64,7 @@ def parse_variant(spec: str) -> Variant:
     if not m:
         raise ValueError(
             f"cannot parse variant {spec!r} (expected SEQ:g.<pos><REF>><ALT>,"
-            f" SEQ:g.<a>_<b>del|dup|delins<SEQ>, or SEQ:g.<a>_<b>ins<SEQ>)")
+            f" SEQ:g.<a>_<b>del|dup|inv|delins<SEQ>, or SEQ:g.<a>_<b>ins<SEQ>)")
     seq_name = m.group("seq")
     a = int(m.group("a"))
     b = int(m.group("b")) if m.group("b") else a
@@ -82,10 +88,10 @@ def parse_variant(spec: str) -> Variant:
         if arg:
             raise ValueError(f"{spec!r}: del takes no sequence argument")
         return Variant(spec, seq_name, a - 1, b, "", "")
-    if op == "dup":
+    if op in ("dup", "inv"):
         if arg:
-            raise ValueError(f"{spec!r}: dup takes no sequence argument")
-        return Variant(spec, seq_name, a - 1, b, "", None)  # alt filled later
+            raise ValueError(f"{spec!r}: {op} takes no sequence argument")
+        return Variant(spec, seq_name, a - 1, b, "", None, op=op)  # alt at resolve
     if op == "delins":
         if not arg:
             raise ValueError(f"{spec!r}: delins needs the new sequence")
@@ -107,8 +113,8 @@ def resolve_variant(v: Variant, ref_seqs: dict[str, str]) -> Variant:
         raise ValueError(f"{v.spec!r}: reference has {span!r} at that "
                          f"position, not {v.ref!r}")
     alt = v.alt
-    if alt is None:  # dup: the span duplicated
-        alt = span + span
+    if alt is None:  # derived from the ref span
+        alt = span + span if v.op == "dup" else span.translate(_RC)[::-1]
     return dataclasses.replace(v, ref=span, alt=alt)
 
 
