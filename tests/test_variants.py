@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from zotpu import variants as V
+from zotpu.io import container
 from zotpu.reference_impl import golden as G
 from tests.test_cli import run_cli
 
@@ -145,12 +146,98 @@ def test_evidence_device_matches_host(tmp_path, ref, capsys):
                    "--coverage", "25", "--seed", "9",
                    "--error-rate", "0.002") == 0
     capsys.readouterr()
-    assert run_cli("evidence", panel, fq, "--host") == 0
+    assert run_cli("evidence", panel, fq, "--host",
+                   "--out-reads", tmp_path / "h") == 0
     host = capsys.readouterr().out
     assert run_cli("evidence", panel, fq, "--batch-reads", 32,
-                   "--max-len", 128) == 0
+                   "--max-len", 128, "--out-reads", tmp_path / "d") == 0
     dev = capsys.readouterr().out
-    assert host == dev
+    assert host.replace("/h\"", "/d\"") == dev.replace("/d\"", "/d\"")
+    hf = sorted(p.name for p in (tmp_path / "h").iterdir())
+    df = sorted(p.name for p in (tmp_path / "d").iterdir())
+    assert hf == df
+    for name in hf:
+        assert ((tmp_path / "h" / name).read_text()
+                == (tmp_path / "d" / name).read_text())
+
+
+def test_inversion_spikein_evidence_roundtrip(tmp_path, ref, capsys):
+    # Inversions only discriminate at the breakpoint junctions
+    # (test_inversion_probes_are_junction_kmers); the full
+    # probes -> spikein -> evidence loop must still see them.
+    path, seq = ref
+    spec = "chr1:g.300_360inv"
+    panel = tmp_path / "panel.zkf"
+    assert run_cli("probes", "-k", 15, path, panel, spec) == 0
+    capsys.readouterr()
+    fq = tmp_path / "inv.fastq"
+    assert run_cli("spikein", path, fq, spec, "--vaf", "0.5",
+                   "--coverage", "50", "--seed", "7") == 0
+    capsys.readouterr()
+    assert run_cli("evidence", panel, fq, "--host") == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["variant"] == spec
+    assert row["alt"]["support"] > 0
+    assert 0.15 < row["vaf_estimate"] < 0.85
+
+
+def test_evidence_out_reads_pulldown(tmp_path, ref, capsys):
+    path, seq = ref
+    base = seq[249]
+    other = "G" if base != "G" else "T"
+    spec = f"chr1:g.250{base}>{other}"
+    panel = tmp_path / "panel.zkf"
+    assert run_cli("probes", "-k", 15, path, panel, spec) == 0
+    fq = tmp_path / "alt.fastq"
+    assert run_cli("spikein", path, fq, spec, "--vaf", "0.5",
+                   "--coverage", "40", "--seed", "3") == 0
+    capsys.readouterr()
+    outdir = tmp_path / "support"
+    assert run_cli("evidence", panel, fq, "--host",
+                   "--out-reads", outdir) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    n_sup = summary["supporting_reads"][spec]
+    assert n_sup > 0
+    files = list(outdir.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".fastq"
+    recs = files[0].read_text().strip().splitlines()
+    assert len(recs) == 4 * n_sup
+    # every pulled read must actually contain an alt-probe k-mer
+    hdr = container.read(str(panel))
+    alt = np.asarray([int(x, 16)
+                      for x in hdr.meta["variants"][0]["alt_probes"]],
+                     np.uint64)
+    for s in recs[1::4]:
+        assert np.isin(np.unique(G.kmerize_seq(15, s)), alt).any()
+    # pure-reference sample pulls nothing
+    fq0 = tmp_path / "ref0.fastq"
+    assert run_cli("spikein", path, fq0, spec, "--vaf", "0.0",
+                   "--coverage", "40", "--seed", "4") == 0
+    out0 = tmp_path / "support0"
+    assert run_cli("evidence", panel, fq0, "--host",
+                   "--out-reads", out0) == 0
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s0["supporting_reads"][spec] == 0
+
+
+def test_variant_specs_from_file(tmp_path, ref, capsys):
+    path, seq = ref
+    b1 = seq[49]
+    s1 = f"chr1:g.50{b1}>{'A' if b1 != 'A' else 'C'}"
+    s2 = "chr1:g.400_402del"
+    lst = tmp_path / "vars.txt"
+    lst.write_text(f"# panel\n{s1}\n\n{s2}  # trailing comment\n")
+    p_file = tmp_path / "pf.zkf"
+    p_argv = tmp_path / "pa.zkf"
+    assert run_cli("probes", "-k", 13, path, p_file, f"@{lst}") == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variants"] == 2
+    assert run_cli("probes", "-k", 13, path, p_argv, s1, s2) == 0
+    capsys.readouterr()
+    a, b = container.read(str(p_file)), container.read(str(p_argv))
+    np.testing.assert_array_equal(a.keys, b.keys)
+    assert a.meta["variants"] == b.meta["variants"]
 
 
 def test_probes_invisible_edit_errors(tmp_path, capsys):

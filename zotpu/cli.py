@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -293,6 +294,53 @@ def _write_hit_reads(out_fh, path, per_read, min_hits):
                 out_fh.write(f"@{rid}\n{seq}\n+\n{qual}\n")
 
 
+def _write_variant_reads(args, meta, k, sample):
+    """Per-variant pulldown of supporting reads (clinical workflow tail):
+    for each panel variant, the sample reads carrying >= --min-hits of its
+    ALT probes go to OUT_DIR/<variant>.<sample>.fastq. Reuses the scan
+    pulldown machinery with the variant's alt probes as the panel."""
+    import re
+
+    from zotpu.workloads import pulldown
+    os.makedirs(args.out_reads, exist_ok=True)
+    sanitize = lambda s: re.sub(r"[^A-Za-z0-9._-]", "_", s)
+    sbase = sanitize(os.path.basename(sample))
+    seqs = _read_all_seqs([sample]) if args.host else None
+    written = {}
+    for m in meta["variants"]:
+        alt = np.asarray([int(x, 16) for x in m["alt_probes"]], np.uint64)
+        if args.host:
+            per_read = [int(h) for h in G.scan_panel(k, alt, seqs)]
+        else:
+            _, _, per_read = pulldown.pulldown_paths(
+                alt, [sample], k, batch_reads=args.batch_reads,
+                max_len=args.max_len)[0]
+        out = os.path.join(args.out_reads, f"{sanitize(m['spec'])}.{sbase}.fastq")
+        with open(out, "w") as fh:
+            _write_hit_reads(fh, sample, per_read, args.min_hits)
+        written[m["spec"]] = sum(1 for h in per_read if h >= args.min_hits)
+    return written
+
+
+def _expand_variant_specs(specs):
+    """Expand ``@FILE`` entries into the HGVS specs the file lists.
+
+    Clinical panels run to hundreds of variants, which do not fit argv
+    comfortably; ``@vars.txt`` reads one spec per line (blank lines and
+    ``#`` comments skipped). Plain specs pass through unchanged."""
+    out = []
+    for s in specs:
+        if s.startswith("@"):
+            with open(s[1:]) as f:
+                for line in f:
+                    line = line.split("#", 1)[0].strip()
+                    if line:
+                        out.append(line)
+        else:
+            out.append(s)
+    return out
+
+
 def cmd_probes(args):
     """Variant descriptions -> discriminating k-mer probe panel (ZKF).
 
@@ -300,6 +348,7 @@ def cmd_probes(args):
     clinical family); per-variant ref/alt probe lists ride in the container
     metadata for host-side attribution by `evidence`."""
     from zotpu import variants as V
+    args.variants = _expand_variant_specs(args.variants)
     keys, meta = V.build_panel(args.variants, args.reference, args.k)
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=None,
@@ -331,12 +380,18 @@ def cmd_evidence(args):
         for row in V.evidence_from_counts(meta, keys, counts):
             print(json.dumps({"command": "evidence", "sample": sample,
                               **row}))
+        if args.out_reads:
+            written = _write_variant_reads(args, meta, k, sample)
+            print(json.dumps({"command": "evidence", "sample": sample,
+                              "out_reads": args.out_reads,
+                              "supporting_reads": written}))
     return 0
 
 
 def cmd_spikein(args):
     """Simulate reads from a reference with variants at a given VAF."""
     from zotpu import variants as V
+    args.variants = _expand_variant_specs(args.variants)
     stats = V.spike_reads(args.reference, args.variants, args.output,
                           coverage=args.coverage, vaf=args.vaf,
                           read_len=args.read_len,
@@ -568,7 +623,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HGVS-style specs, e.g. chr1:g.123A>G, "
                          "chr1:g.10_12del, chr1:g.10_11insTT, "
                          "chr1:g.10_12dup, chr1:g.10_12delinsGG, "
-                         "chr1:g.10_12inv")
+                         "chr1:g.10_12inv; @FILE reads one spec per line "
+                         "('#' comments ok)")
     out_codec(sp)
     sp.set_defaults(fn=cmd_probes)
 
@@ -576,6 +632,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="variant evidence in read sets vs a probe panel")
     sp.add_argument("panel", help="output of `zotpu probes`")
     sp.add_argument("samples", nargs="+")
+    sp.add_argument("--out-reads", metavar="DIR",
+                    help="also write each variant's supporting reads "
+                         "(>= --min-hits ALT-probe k-mers) to "
+                         "DIR/<variant>.<sample>.fastq")
+    sp.add_argument("--min-hits", type=int, default=1)
     common(sp, batch=True)
     sp.set_defaults(fn=cmd_evidence)
 
@@ -583,7 +644,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="simulate reads with variants at a given VAF")
     sp.add_argument("reference")
     sp.add_argument("output", help="FASTQ (.gz ok) to write")
-    sp.add_argument("variants", nargs="+")
+    sp.add_argument("variants", nargs="+",
+                    help="HGVS-style specs (@FILE reads one per line)")
     sp.add_argument("--vaf", type=float, default=0.5)
     sp.add_argument("--coverage", type=float, default=30.0)
     sp.add_argument("--read-len", type=int, default=100)
