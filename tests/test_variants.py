@@ -247,3 +247,157 @@ def test_probes_invisible_edit_errors(tmp_path, capsys):
     assert run_cli("probes", "-k", 9, p, tmp_path / "x.zkf",
                    "c:g.50_52dup") == 1
     assert "invisible" in capsys.readouterr().err
+
+
+# --- transcript (c./n.) coordinates ------------------------------------------
+
+TXP = ("TXP", "chr1", "+", ((100, 160), (200, 260), (300, 360)), 130, 320)
+TXM = ("TXM", "chr1", "-", ((100, 160), (200, 260)), 120, 240)
+
+
+@pytest.fixture
+def transcripts(tmp_path):
+    """refGene-style table: TXP 3-exon '+' CDS [130,320); TXM 2-exon '-'
+    CDS [120,240); TXN noncoding (cdsStart == cdsEnd)."""
+    rows = [
+        # UCSC form WITH the leading bin column
+        "9\tTXP\tchr1\t+\t100\t360\t130\t320\t3\t100,200,300,\t160,260,360,",
+        # plain form without it
+        "TXM\tchr1\t-\t100\t260\t120\t240\t2\t100,200,\t160,260,",
+        "TXN\tchr1\t+\t100\t260\t100\t100\t2\t100,200,\t160,260,",
+        "# comment line",
+    ]
+    p = tmp_path / "tx.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_load_transcripts(transcripts):
+    txs = V.load_transcripts(transcripts)
+    assert set(txs) == {"TXP", "TXM", "TXN"}
+    assert (txs["TXP"].strand, txs["TXP"].exons, txs["TXP"].cds_start,
+            txs["TXP"].cds_end) == ("+", ((100, 160), (200, 260),
+                                          (300, 360)), 130, 320)
+    assert txs["TXM"].strand == "-"
+    assert txs["TXN"].cds_start is None  # noncoding
+    assert txs["TXP"].spliced_len() == 180
+
+
+def _g(spec, transcripts):
+    v = V.parse_tx_variant(spec, V.load_transcripts(transcripts))
+    return v.start, v.end, v.ref, v.alt
+
+
+def test_tx_coordinate_mapping_plus(transcripts):
+    # c.1 = first CDS base = genomic 130 (0-based)
+    assert _g("TXP:c.1A>G", transcripts)[:2] == (130, 131)
+    # c.31 crosses into exon 2 (30 CDS bases in exon 1)
+    assert _g("TXP:c.31A>G", transcripts)[:2] == (200, 201)
+    # 5' UTR: c.-5 is 5 bases before the CDS in the spliced transcript
+    assert _g("TXP:c.-5A>G", transcripts)[:2] == (125, 126)
+    # 3' UTR: *1 is the first base after the CDS (genomic 320)
+    assert _g("TXP:c.*1del", transcripts)[:2] == (320, 321)
+    # intron offsets off exon-1/exon-2 boundaries
+    assert _g("TXP:c.30+2A>G", transcripts)[:2] == (161, 162)
+    assert _g("TXP:c.31-2A>G", transcripts)[:2] == (198, 199)
+
+
+def test_tx_coordinate_mapping_minus(transcripts):
+    # transcript runs genomically backwards: c.1 = genomic 239
+    assert _g("TXM:c.1A>G", transcripts)[:2] == (239, 240)
+    assert _g("TXM:c.2A>G", transcripts)[:2] == (238, 239)
+    assert _g("TXM:c.-1A>G", transcripts)[:2] == (240, 241)
+    assert _g("TXM:c.*1del", transcripts)[:2] == (119, 120)
+    # span in transcript order maps to the reversed genomic interval
+    assert _g("TXM:c.2_4del", transcripts)[:2] == (236, 239)
+    # intronic: c.60 is the last base of transcript exon 1 (genomic 200);
+    # +2 walks genomically DOWN on '-'
+    assert _g("TXM:c.40+2A>G", transcripts)[:2] == (198, 199)
+
+
+def test_tx_minus_strand_alleles_revcomp(transcripts):
+    txs = V.load_transcripts(transcripts)
+    v = V.parse_tx_variant("TXM:c.2A>G", txs)
+    assert (v.ref, v.alt) == ("T", "C")  # transcript A>G = genomic T>C
+    vi = V.parse_tx_variant("TXM:c.2_3insAAG", txs)
+    assert (vi.start, vi.end, vi.alt) == (238, 238, "CTT")
+    vd = V.parse_tx_variant("TXM:c.2_4delinsAAG", txs)
+    assert (vd.start, vd.end, vd.alt) == (236, 239, "CTT")
+
+
+def test_tx_probes_match_equivalent_genomic(ref, transcripts):
+    path, seq = ref
+    refs = V.load_reference(path)
+    txs = V.load_transcripts(transcripts)
+    def other(b):
+        return "G" if b != "G" else "T"
+
+    cases = [
+        # same edit described in c. and in g. coordinates, both strands
+        (f"TXP:c.31{seq[200]}>{other(seq[200])}",
+         f"chr1:g.201{seq[200]}>{other(seq[200])}"),
+        ("TXP:c.1_3del", "chr1:g.131_133del"),
+        ("TXP:c.*1_*3dup", "chr1:g.321_323dup"),
+        (f"TXP:c.30+2{seq[161]}>{other(seq[161])}",
+         f"chr1:g.162{seq[161]}>{other(seq[161])}"),
+        ("TXM:c.2_4del", "chr1:g.237_239del"),
+        ("TXM:c.1_6inv", "chr1:g.235_240inv"),
+    ]
+    for tx_spec, g_spec in cases:
+        vt = V.resolve_variant(V.parse_tx_variant(tx_spec, txs), refs)
+        vg = V.resolve_variant(V.parse_variant(g_spec), refs)
+        assert (vt.start, vt.end, vt.ref, vt.alt) == (
+            vg.start, vg.end, vg.ref, vg.alt), (tx_spec, g_spec)
+        pt = V.probe_kmers(vt, refs, 15)
+        pg = V.probe_kmers(vg, refs, 15)
+        assert np.array_equal(pt[0], pg[0]) and np.array_equal(pt[1], pg[1])
+
+
+def test_tx_parse_errors(transcripts):
+    txs = V.load_transcripts(transcripts)
+    for bad in (
+        "NOPE:c.1A>G",          # unknown transcript
+        "TXP:c.0A>G",           # c.0 does not exist
+        "TXP:c.30_31del",       # span crosses the intron (different exons)
+        "TXP:c.29+2A>G",        # offset anchor not on the exon boundary
+        "TXP:c.30+200A>G",      # offset walks out of the transcript span
+        "TXP:c.30+60A>G",       # offset lands inside the next exon
+        "TXP:c.500A>G",         # past the spliced transcript
+        "TXP:c.-40A>G",         # before the spliced transcript
+        "TXN:c.1A>G",           # noncoding model has no c. coordinates
+        "TXM:c.4_2del",         # end before start in transcript order
+        "TXP:n.0del",           # n. is 1-based
+        "TXP:c.*0del",          # *N starts at *1
+    ):
+        with pytest.raises(ValueError):
+            V.parse_tx_variant(bad, txs)
+    # n. works on both coding and noncoding models: n.1 = transcript start
+    assert V.parse_tx_variant("TXN:n.1_3del", txs).start == 100
+    assert V.parse_tx_variant("TXP:n.1_3del", txs).start == 100
+    # parse_any_variant without a table rejects c. cleanly
+    with pytest.raises(ValueError):
+        V.parse_any_variant("TXP:c.1A>G", None)
+
+
+def test_tx_cli_roundtrip(tmp_path, ref, transcripts, capsys):
+    """probes/spikein/evidence through the CLI with a c. spec on the '-'
+    strand transcript."""
+    path, seq = ref
+    # TXM:c.2 -> genomic 0-based 238; transcript allele = rc(genomic)
+    t_ref = {"A": "T", "C": "G", "G": "C", "T": "A"}[seq[238]]
+    t_alt = "A" if t_ref != "A" else "C"
+    spec = f"TXM:c.2{t_ref}>{t_alt}"
+    panel = tmp_path / "panel.zkf"
+    assert run_cli("probes", "-k", 15, path, panel, spec,
+                   "--transcripts", transcripts) == 0
+    capsys.readouterr()
+    fq = tmp_path / "alt.fastq"
+    assert run_cli("spikein", path, fq, spec, "--vaf", "0.5",
+                   "--coverage", "40", "--seed", "3",
+                   "--transcripts", transcripts) == 0
+    capsys.readouterr()
+    assert run_cli("evidence", panel, fq, "--host") == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["variant"] == spec
+    assert row["alt"]["probes_hit"] == row["alt"]["probes"] > 0
+    assert 0.2 < row["vaf_estimate"] < 0.8

@@ -349,7 +349,8 @@ def cmd_probes(args):
     metadata for host-side attribution by `evidence`."""
     from zotpu import variants as V
     args.variants = _expand_variant_specs(args.variants)
-    keys, meta = V.build_panel(args.variants, args.reference, args.k)
+    keys, meta = V.build_panel(args.variants, args.reference, args.k,
+                               transcripts_path=args.transcripts)
     container.write(args.output, container.KmerSet(
         k=args.k, keys=keys, counts=None,
         meta={"tool": "zotpu probes", **meta}),
@@ -395,7 +396,8 @@ def cmd_spikein(args):
     stats = V.spike_reads(args.reference, args.variants, args.output,
                           coverage=args.coverage, vaf=args.vaf,
                           read_len=args.read_len,
-                          error_rate=args.error_rate, seed=args.seed)
+                          error_rate=args.error_rate, seed=args.seed,
+                          transcripts_path=args.transcripts)
     print(json.dumps({"command": "spikein", "output": args.output, **stats}))
     return 0
 
@@ -624,7 +626,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "chr1:g.10_12del, chr1:g.10_11insTT, "
                          "chr1:g.10_12dup, chr1:g.10_12delinsGG, "
                          "chr1:g.10_12inv; @FILE reads one spec per line "
-                         "('#' comments ok)")
+                         "('#' comments ok); with --transcripts also "
+                         "TX:c.76A>T, TX:c.-14G>C, TX:c.*6del, TX:c.88+2T>G, "
+                         "TX:n.42del")
+    sp.add_argument("--transcripts", metavar="TSV",
+                    help="refGene-style gene models enabling c./n. "
+                         "coordinates (name chrom strand txStart txEnd "
+                         "cdsStart cdsEnd exonCount exonStarts exonEnds)")
     out_codec(sp)
     sp.set_defaults(fn=cmd_probes)
 
@@ -651,6 +659,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--read-len", type=int, default=100)
     sp.add_argument("--error-rate", type=float, default=0.0)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--transcripts", metavar="TSV",
+                    help="gene models enabling c./n. variant specs")
     sp.set_defaults(fn=cmd_spikein)
 
     sp = sub.add_parser("sample", help="hash-threshold downsample")
