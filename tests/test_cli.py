@@ -424,3 +424,40 @@ def test_prefetch_abandoned_consumer_shuts_down():
             break
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_query(tmp_path, rng, capsys):
+    reads = ["".join(rng.choice(list("ACGT"), size=90)) for _ in range(20)]
+    keys, counts = G.kmerize(11, reads)
+    p = tmp_path / "x.zkf"
+    container.write(str(p), container.KmerSet(k=11, keys=keys, counts=counts))
+
+    present = reads[0][:11]
+    # either strand of a present k-mer finds the same count
+    rc = present.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    assert run_cli("query", p, present, rc) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows[0]["count"] == rows[1]["count"] > 0
+
+    # absent k-mer: count 0, grep-style exit 1
+    assert run_cli("query", p, "A" * 11) in (0, 1)
+    row = json.loads(capsys.readouterr().out.strip())
+    got = G.kmerize_seq(11, "A" * 11)[0]
+    want = counts[np.searchsorted(keys, got)] if got in keys else 0
+    assert row["count"] == int(want)
+
+    # wrong length is a clean error
+    assert run_cli("query", p, "ACGT") == 1
+    assert "k=11" in capsys.readouterr().err
+
+    # --seq mode: every k-mer of the read is present
+    assert run_cli("query", p, reads[0], "--seq") == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["kmers"] == 80 and row["present"] == row["distinct"]
+    assert row["total_count"] >= row["distinct"]
+
+    # @FILE expansion
+    qf = tmp_path / "q.txt"
+    qf.write_text(f"# queries\n{present}\n{rc}\n")
+    assert run_cli("query", p, f"@{qf}") == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2

@@ -413,6 +413,53 @@ def cmd_sample(args):
     return 0
 
 
+def cmd_query(args):
+    """Point lookups: k-mer strings (or every k-mer of longer sequences with
+    --seq) -> counts in a set.
+
+    Reference analog: zotmer's sparse rank/select membership surface
+    (SURVEY.md section 2a "sparse/succinct set") exposed interactively --
+    the CLI front door to zotpu/sparse.py. Queries canonicalize first, so
+    either strand of a k-mer finds its count."""
+    from zotpu.sparse import SparseSet
+    ks, counts = _load_padded(args.input)
+    k = ks.k
+    sset = SparseSet(ks.keys)
+    specs = []
+    for q in args.kmers:
+        if q.startswith("@"):
+            with open(q[1:]) as f:
+                specs.extend(t for t in (ln.strip() for ln in f)
+                             if t and not t.startswith("#"))
+        else:
+            specs.append(q)
+    found = 0
+    for q in specs:
+        qs = q.upper()
+        if not args.seq and len(qs) != k:
+            raise ValueError(f"query {q!r} is {len(qs)} bases; the set has "
+                             f"k={k} (use --seq to query every k-mer of a "
+                             f"longer sequence)")
+        keys = G.kmerize_seq(k, qs)
+        if len(keys) == 0:
+            print(json.dumps({"query": q, "count": 0,
+                              "note": "no valid ACGT window"}))
+            continue
+        uniq = np.unique(keys)
+        mask = sset.access(uniq)
+        cnt = np.where(mask, counts[np.minimum(sset.rank(uniq),
+                                               max(ks.n - 1, 0))], 0)
+        if args.seq:
+            print(json.dumps({
+                "query": q, "kmers": int(len(keys)),
+                "distinct": int(len(uniq)), "present": int(mask.sum()),
+                "total_count": int(cnt.sum())}))
+        else:
+            print(json.dumps({"query": q, "count": int(cnt[0])}))
+        found += int(mask.sum())
+    return 0 if found or not specs else 1
+
+
 def cmd_dump(args):
     ks, counts = _load_padded(args.input)
     # vectorized text render: the per-key python loop (G.decode_kmer) takes
@@ -662,6 +709,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--transcripts", metavar="TSV",
                     help="gene models enabling c./n. variant specs")
     sp.set_defaults(fn=cmd_spikein)
+
+    sp = sub.add_parser("query", help="look up k-mer counts in a set")
+    sp.add_argument("input", help="ZKF set (casket#member ok)")
+    sp.add_argument("kmers", nargs="+",
+                    help="k-mer strings (either strand; @FILE reads one "
+                         "per line)")
+    sp.add_argument("--seq", action="store_true",
+                    help="treat queries as longer sequences; report how many "
+                         "of their k-mers are present")
+    sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("sample", help="hash-threshold downsample")
     sp.add_argument("--rate", type=float, required=True)
