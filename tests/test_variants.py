@@ -401,3 +401,35 @@ def test_tx_cli_roundtrip(tmp_path, ref, transcripts, capsys):
     assert row["variant"] == spec
     assert row["alt"]["probes_hit"] == row["alt"]["probes"] > 0
     assert 0.2 < row["vaf_estimate"] < 0.8
+
+
+def test_tx_spliced_genomic_roundtrip_property():
+    """Hypothesis: genomic<->spliced mapping is a bijection on exonic bases
+    for random exon structures on both strands."""
+    from hypothesis import given, settings, strategies as st
+
+    @st.composite
+    def tx(draw):
+        n_ex = draw(st.integers(1, 5))
+        cuts = sorted(draw(st.lists(
+            st.integers(0, 500), min_size=2 * n_ex, max_size=2 * n_ex,
+            unique=True)))
+        exons = tuple((cuts[2 * i], cuts[2 * i + 1]) for i in range(n_ex))
+        strand = draw(st.sampled_from("+-"))
+        return V.Transcript("T", "chr1", strand, exons, None, None)
+
+    @given(tx(), st.data())
+    @settings(max_examples=60, deadline=None)
+    def check(t, data):
+        L = t.spliced_len()
+        i = data.draw(st.integers(0, L - 1))
+        g = V._genomic_of_spliced(t, i)
+        assert any(s <= g < e for s, e in t.exons)
+        assert V._spliced_index(t, g) == i
+        # transcript order: spliced i+1 is the next exonic base in strand
+        # direction
+        if i + 1 < L:
+            g2 = V._genomic_of_spliced(t, i + 1)
+            assert (g2 > g) == (t.strand == "+")
+
+    check()
