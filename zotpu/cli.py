@@ -9,7 +9,12 @@ Reference analog: zotmer's dispatcher `zot <command> [args...]`
     jaccard   similarity from psum-able cardinalities
     hist      frequency spectrum (+ error-peak cutoff)     (BASELINE config 4)
     scan      panel pulldown over read sets                (BASELINE config 5)
+    filter    drop k-mers below a count threshold (--auto = spectrum cutoff)
     sample    deterministic hash-threshold downsampling
+    query     point k-mer count lookups / --seq membership screens
+    probes/evidence/spikein  clinical variant family (variants.py; g. and
+              transcript c./n. HGVS coordinates via --transcripts)
+    casket    named-member containers (file.zkc#member addressing)
     dump/info print set contents / container metadata
     verify    compare two sets, report first divergence    (SURVEY.md section 4 item 6)
     bench     performance harness (bench/harness.py)
