@@ -194,7 +194,10 @@ def main():
     order = ["weak_scaling_efficiency", "kmerize_e2e_bases_per_s",
              "scan_kmers_per_s", "setops_merge_gb_per_s",
              "kmerize_bases_per_s_host_projected"]
-    records.sort(key=lambda rec: order.index(rec["metric"]))
+    # unknown metrics print first (never crash at the very end and discard
+    # every measured line -- ADVICE round 2)
+    records.sort(key=lambda rec: (order.index(rec["metric"])
+                                  if rec["metric"] in order else -1))
     for rec in records:
         print(json.dumps(rec), flush=True)
     if headline:

@@ -461,3 +461,60 @@ def test_query(tmp_path, rng, capsys):
     qf.write_text(f"# queries\n{present}\n{rc}\n")
     assert run_cli("query", p, f"@{qf}") == 0
     assert len(capsys.readouterr().out.splitlines()) == 2
+
+
+def test_query_empty_set(tmp_path, capsys):
+    # empty set: every query has count 0, no IndexError (ADVICE round 2)
+    p = tmp_path / "empty.zkf"
+    container.write(str(p), container.KmerSet(
+        k=11, keys=np.empty(0, np.uint64),
+        counts=np.empty(0, S.COUNT_DTYPE)))
+    assert run_cli("query", p, "A" * 11) == 1
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["count"] == 0
+    assert run_cli("query", p, "ACGTACGTACGTACGT", "--seq") == 1
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["present"] == 0 and row["total_count"] == 0
+
+
+def test_verify_kset_vs_kfset(tmp_path, rng, capsys):
+    # a counts-less kset is NOT an all-ones kfset (VERDICT round 2 weak 9);
+    # --as-sets opts into the membership-only comparison
+    keys = np.unique(rng.integers(0, 1 << 40, 64).astype(np.uint64))
+    kf = tmp_path / "a.zkf"
+    ks = tmp_path / "b.zkf"
+    container.write(str(kf), container.KmerSet(
+        k=21, keys=keys, counts=np.full(len(keys), 2, S.COUNT_DTYPE)))
+    container.write(str(ks), container.KmerSet(k=21, keys=keys, counts=None))
+    assert run_cli("verify", kf, ks) == 1
+    assert "kset vs kfset" in json.loads(capsys.readouterr().out)["reason"]
+    assert run_cli("verify", "--as-sets", kf, ks) == 0
+    assert json.loads(capsys.readouterr().out)["equal"] is True
+
+
+def test_kmerize_from_stdin(tmp_path, rng):
+    # `cat reads.fastq | zotpu kmerize ... -` : the format sniff must not eat
+    # the first record's '@' (VERDICT round 2 weak 5)
+    import os
+    import subprocess
+    import sys
+    reads = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(30)]
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    out = tmp_path / "out.zkf"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ZOTPU_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = (extra + os.pathsep if extra else "") + repo
+    with open(fq, "rb") as fin:
+        r = subprocess.run(
+            [sys.executable, "-m", "zotpu", "kmerize", "-k", "15",
+             "--batch-reads", "8", "--max-len", "96", str(out), "-"],
+            stdin=fin, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    got = container.read(str(out))
+    want_k, want_c = G.kmerize(15, reads)
+    assert np.array_equal(got.keys, want_k)
+    assert np.array_equal(got.counts, want_c)

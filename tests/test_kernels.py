@@ -5,7 +5,7 @@ import pytest
 
 from zotpu import semantics as S
 from zotpu.kernels import hist as khist
-from zotpu.kernels import pack, search, setops, sortdedup
+from zotpu.kernels import pack, setops, sortdedup
 from zotpu.reference_impl import golden as G
 
 
@@ -181,15 +181,3 @@ def test_spectrum_matches_golden():
     assert np.array_equal(got, want.astype(np.int32))
 
 
-def test_searchsorted2_and_member():
-    rng = np.random.default_rng(9)
-    keys = np.unique(rng.integers(0, 2**50, size=300).astype(np.uint64))
-    cap = 512
-    uhi, ulo, _ = _to_dev(keys, np.ones(len(keys), np.uint32), cap)
-    queries = np.concatenate([keys[::3], rng.integers(0, 2**50, size=100).astype(np.uint64)])
-    qhi, qlo = S.split_hi_lo(queries)
-    idx = np.asarray(search.searchsorted2(uhi, ulo, qhi, qlo))
-    want_idx = np.searchsorted(keys, queries)
-    assert np.array_equal(idx, want_idx)
-    hit = np.asarray(search.member2(uhi, ulo, qhi, qlo))
-    assert np.array_equal(hit, np.isin(queries, keys))

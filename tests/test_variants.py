@@ -283,6 +283,17 @@ def test_load_transcripts(transcripts):
     assert txs["TXP"].spliced_len() == 180
 
 
+def test_load_transcripts_duplicate_name_rejected(tmp_path):
+    # refGene dumps repeat accessions at multiple loci; last-row-wins would
+    # resolve c. variants against the wrong locus (ADVICE round 2)
+    p = tmp_path / "dup.tsv"
+    p.write_text(
+        "TXA\tchr1\t+\t100\t260\t120\t240\t2\t100,200,\t160,260,\n"
+        "TXA\tchr2\t+\t500\t660\t520\t640\t2\t500,600,\t560,660,\n")
+    with pytest.raises(ValueError, match="duplicate transcript"):
+        V.load_transcripts(str(p))
+
+
 def _g(spec, transcripts):
     v = V.parse_tx_variant(spec, V.load_transcripts(transcripts))
     return v.start, v.end, v.ref, v.alt
@@ -300,6 +311,9 @@ def test_tx_coordinate_mapping_plus(transcripts):
     # intron offsets off exon-1/exon-2 boundaries
     assert _g("TXP:c.30+2A>G", transcripts)[:2] == (161, 162)
     assert _g("TXP:c.31-2A>G", transcripts)[:2] == (198, 199)
+    # deepest valid offsets: the 40-base intron's last/first base
+    assert _g("TXP:c.30+40A>G", transcripts)[:2] == (199, 200)
+    assert _g("TXP:c.31-40A>G", transcripts)[:2] == (160, 161)
 
 
 def test_tx_coordinate_mapping_minus(transcripts):
@@ -362,6 +376,11 @@ def test_tx_parse_errors(transcripts):
         "TXP:c.29+2A>G",        # offset anchor not on the exon boundary
         "TXP:c.30+200A>G",      # offset walks out of the transcript span
         "TXP:c.30+60A>G",       # offset lands inside the next exon
+        "TXP:c.30+110A>G",      # offset overshoots intron 1 (40 bases) into
+                                # intron 2 (ADVICE round 2: was silently
+                                # accepted at the wrong genomic coordinate)
+        "TXP:c.31-45A>G",       # -M overshoots intron 1 going 5'
+        "TXM:c.40+45A>G",       # '-' strand: +M overshoots the intron
         "TXP:c.500A>G",         # past the spliced transcript
         "TXP:c.-40A>G",         # before the spliced transcript
         "TXN:c.1A>G",           # noncoding model has no c. coordinates

@@ -451,9 +451,14 @@ def cmd_query(args):
                               "note": "no valid ACGT window"}))
             continue
         uniq = np.unique(keys)
-        mask = sset.access(uniq)
-        cnt = np.where(mask, counts[np.minimum(sset.rank(uniq),
-                                               max(ks.n - 1, 0))], 0)
+        if ks.n == 0:  # empty set: every query misses (ADVICE round 2:
+            # counts[0] would IndexError through the eager np.where)
+            mask = np.zeros(len(uniq), bool)
+            cnt = np.zeros(len(uniq), np.int64)
+        else:
+            mask = sset.access(uniq)
+            cnt = np.where(mask, counts[np.minimum(sset.rank(uniq),
+                                                   ks.n - 1)], 0)
         if args.seq:
             print(json.dumps({
                 "query": q, "kmers": int(len(keys)),
@@ -498,9 +503,20 @@ def cmd_verify(args):
     if a.k != b.k:
         print(json.dumps({"equal": False, "reason": f"k {a.k} != {b.k}"}))
         return 1
+    if (a.counts is None) != (b.counts is None) and not args.as_sets:
+        # a counts-less kset is a membership set, not an all-ones kfset;
+        # reporting them equal hid a real format difference (VERDICT round 2
+        # weak item 9). --as-sets opts into the membership-only comparison.
+        which = args.a if a.counts is None else args.b
+        print(json.dumps({"equal": False,
+                          "reason": f"{which} has no counts (kset vs kfset; "
+                                    f"pass --as-sets to compare membership "
+                                    f"only)"}))
+        return 1
     n = min(a.n, b.n)
     kdiff = np.nonzero(a.keys[:n] != b.keys[:n])[0]
-    cdiff = np.nonzero(ca[:n] != cb[:n])[0]
+    cdiff = (np.empty(0, np.int64) if args.as_sets
+             else np.nonzero(ca[:n] != cb[:n])[0])
     first = min(
         int(kdiff[0]) if len(kdiff) else n if a.n != b.n else -1,
         int(cdiff[0]) if len(cdiff) else n if a.n != b.n else -1,
@@ -744,6 +760,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("verify", help="compare two sets byte-for-byte")
     sp.add_argument("a")
     sp.add_argument("b")
+    sp.add_argument("--as-sets", action="store_true",
+                    help="compare membership only (a counts-less kset vs a "
+                         "kfset is otherwise a format mismatch)")
     sp.set_defaults(fn=cmd_verify)
 
     sp = sub.add_parser("casket", help="named-member containers; reading "

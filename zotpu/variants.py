@@ -179,6 +179,15 @@ def load_transcripts(path: str) -> dict[str, "Transcript"]:
                     raise ValueError(f"{path}:{ln}: overlapping exons")
             cds_s, cds_e = int(cds_s), int(cds_e)
             coding = cds_s < cds_e
+            if name in out:
+                # real refGene dumps repeat accessions at multiple loci; a
+                # silent last-row-wins would resolve c. variants against the
+                # wrong locus (ADVICE round 2)
+                raise ValueError(
+                    f"{path}:{ln}: duplicate transcript name {name!r} "
+                    f"(first at {out[name].seq_name}); disambiguate the "
+                    f"table "
+                    f"(e.g. suffix the accession with its locus)")
             out[name] = Transcript(
                 name, chrom, strand, exons,
                 cds_s if coding else None, cds_e if coding else None)
@@ -261,7 +270,8 @@ def _resolve_tx_pos(tx: Transcript, pos: str, sys: str, spec: str
     # intron offset: +M walks 3' of the anchor exon's end (transcript
     # direction), -M walks 5' of its start; validate the anchor sits on the
     # matching exon boundary, as HGVS requires.
-    exon = next((s, e) for s, e in tx.exons if s <= g < e)
+    ei, exon = next((i, (s, e)) for i, (s, e) in enumerate(tx.exons)
+                    if s <= g < e)
     sign = 1 if off > 0 else -1
     tx_sign = sign if tx.strand == "+" else -sign
     boundary = exon[1] - 1 if tx_sign > 0 else exon[0]
@@ -271,14 +281,24 @@ def _resolve_tx_pos(tx: Transcript, pos: str, sys: str, spec: str
             f"boundary base (anchor is {abs(g - boundary)} bases inside "
             f"the exon)")
     g2 = g + tx_sign * abs(off)
-    lo, hi = tx.exons[0][0], tx.exons[-1][1]
-    if not lo <= g2 < hi:
-        raise ValueError(f"{spec!r}: intron offset walks outside the "
-                         f"transcript span")
-    for s, e in tx.exons:
-        if s <= g2 < e:
-            raise ValueError(f"{spec!r}: intron offset {off:+d} lands in an "
-                             f"exon (wrong direction or too large)")
+    # the offset must land strictly inside the intron ADJACENT to the anchor
+    # exon -- an offset longer than that intron is an invalid HGVS spec, and
+    # silently accepting it would place probes at wrong genomic coordinates
+    # (a different intron / past the transcript; ADVICE round 2, medium)
+    if tx_sign > 0:
+        if ei + 1 >= len(tx.exons):
+            raise ValueError(f"{spec!r}: intron offset walks past the last "
+                             f"exon (no intron 3' of the anchor)")
+        ilo, ihi = exon[1], tx.exons[ei + 1][0]
+    else:
+        if ei == 0:
+            raise ValueError(f"{spec!r}: intron offset walks past the first "
+                             f"exon (no intron 5' of the anchor)")
+        ilo, ihi = tx.exons[ei - 1][1], exon[0]
+    if not ilo <= g2 < ihi:
+        raise ValueError(
+            f"{spec!r}: intron offset {off:+d} overshoots the adjacent "
+            f"intron ({ihi - ilo} bases)")
     return g2, None
 
 
