@@ -3,13 +3,14 @@
 All workloads run first; the JSON lines are printed together at the very end
 of stdout, ordered least-important-first, so however much output tail the
 driver records, the lines that survive truncation are the ones that matter
-most — and the FINAL line (what BENCH_r01.json's "parsed" field captured in
-round 1) is the headline: kmerize throughput (k=25) in bases/s on the current
-device (BASELINE north-star target: 1e9 bases/s/host => vs_baseline is the
-ratio to that target). The other lines cover the remaining BASELINE metrics
-(VERDICT round 1 item 2): weak-scaling efficiency, end-to-end throughput,
-scan probe rate, sorted-set-op GB/s, and the measured-term 8-chip host
-projection. Progress goes to stderr.
+most — and the FINAL line (the driver parses it) is the headline: the
+measured-term 8-chip HOST projection of kmerize throughput (k=25), compared
+against BASELINE's actual target unit (1e9 bases/s/HOST — VERDICT round 2
+item 2), with the per-chip rate carried inside the same record. The other
+lines cover the remaining BASELINE metrics: the per-chip kmerize rate,
+sorted-set-op GB/s, scan probe rate, end-to-end throughput, and the
+scaling-model sensitivity terms (forced second round + load sweep).
+Progress goes to stderr.
 
 Each workload runs in its OWN subprocess with a hard timeout: this rig's TPU
 rides a shared remote tunnel whose weather can stall a single transfer for
@@ -81,40 +82,69 @@ def main():
     _log(f"kmerize {total_bases} bases k={k}")
     r = run_workload("kmerize", f"r = harness.bench_kmerize({total_bases}, "
                      f"k={k}, read_len=256, repeats=3)", tmo)
-    headline = None
     if r:
         _log(f"kmerize {r['seconds']:.3f}s on {r['device']}")
-        headline = {
-            "metric": "kmerize_bases_per_s",
+        _emit({
+            "metric": "kmerize_bases_per_s_chip",
             "value": r["bases_per_s"],
-            "unit": "bases/s",
+            "unit": ("bases/s/chip (single-chip device step; BASELINE's "
+                     "1 Gbase/s target is per HOST = 8 of these chips -- "
+                     "the headline line carries that comparison)"),
             "vs_baseline": r["bases_per_s"] / 1e9,
-        }
-    # BASELINE's kmerize target is per HOST; a v5e host has 8 chips and this
-    # rig exposes 1. The projection below comes from the shard-model
-    # workload: every term is measured on this chip -- the FULL sharded
-    # program at D=1 (pack, owner sort, bucket fill, dedup) plus the D=8
-    # receive-side merge tree -- times 8 chips at a conservative 0.8
-    # weak-scaling floor (the same model says 0.8 needs only ~4 GB/s/chip
-    # of ICI, far under v5e ICI, so the floor is pessimistic).
+        })
+    # HEADLINE (the driver parses the LAST stdout line): BASELINE's kmerize
+    # target is per HOST; a v5e host has 8 chips and this rig exposes 1.
+    # The projection comes from the shard-model workload: every term is
+    # measured on this chip -- the FULL sharded program at D=1 (pack, owner
+    # sort, bucket fill, route; dedup rides the tree since round 3) plus the
+    # D=8 receive-side merge tree with the fused dedup-mark final pass --
+    # times 8 chips at a conservative 0.8 weak-scaling floor (the same model
+    # says 0.8 needs only ~4 GB/s/chip of ICI, far under v5e ICI, so the
+    # floor is pessimistic).
     _log("shard-model...")
     sm = run_workload("shard-model", f"r = harness.bench_shard_model("
                       f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
+    headline = None
     if sm and "host8_bases_per_s_at_0.8_eff" in sm:
-        _emit({
-            "metric": "kmerize_bases_per_s_host_projected",
+        headline = {
+            "metric": "kmerize_bases_per_s_host",
             "value": sm["host8_bases_per_s_at_0.8_eff"],
-            "unit": ("bases/s/host (8 x measured sharded chip step "
-                     "+ measured receive merge tree, 0.8 efficiency floor; "
-                     f"needs {sm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip ICI)"),
+            "unit": ("bases/s/host vs the 1e9 BASELINE north star (8 x "
+                     "measured sharded chip step + measured receive merge "
+                     "tree w/ fused dedup, 0.8 efficiency floor; needs "
+                     f"{sm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip "
+                     "ICI)"),
+            "per_chip_bases_per_s": r["bases_per_s"] if r else None,
             "vs_baseline": sm["host8_bases_per_s_at_0.8_eff"] / 1e9,
-        })
+        }
     elif r:
-        _emit({
-            "metric": "kmerize_bases_per_s_host_projected",
+        headline = {
+            "metric": "kmerize_bases_per_s_host",
             "value": r["bases_per_s"] * 8 * 0.8,
-            "unit": "bases/s/host (1-chip rate x 8 chips x 0.8 scaling)",
+            "unit": ("bases/s/host vs the 1e9 BASELINE north star "
+                     "(fallback: 1-chip rate x 8 chips x 0.8 scaling)"),
+            "per_chip_bases_per_s": r["bases_per_s"],
             "vs_baseline": r["bases_per_s"] * 8 * 0.8 / 1e9,
+        }
+
+    # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
+    # VERDICT round 2 item 7): the D=1 step with the overflow second round
+    # force-taken, and a per-chip-load sweep of the sharded step.
+    _log("shard-sensitivity...")
+    ss = run_workload("shard-sensitivity",
+                      f"r = harness.bench_shard_sensitivity("
+                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
+    if ss:
+        sweep = "; ".join(f"{row['bases'] >> 20} Mbase -> "
+                          f"{row['bases_per_s'] / 1e6:.0f} Mbase/s"
+                          for row in ss["load_sweep"])
+        _emit({
+            "metric": "kmerize_sharded_second_round_overhead",
+            "value": ss["second_round_overhead"],
+            "unit": ("x the gated-off step when the overflow round is "
+                     "force-taken at D=1 (skew-path upper bound); "
+                     f"per-chip-load sweep: {sweep}"),
+            "vs_baseline": 1.0,
         })
 
     _log("setops...")
@@ -143,25 +173,32 @@ def main():
             "vs_baseline": sc["kmers_per_s"] / 5e8,  # VERDICT target 0.5 G/s
         })
 
-    _log("scaling...")
-    sl = run_workload("scaling", "rows = harness.bench_scaling(repeats=3)\n"
-                      "r = rows[-1]", tmo)
-    if sl:
-        eff = sl["weak_scaling_efficiency"]
+    # NOTE: the old weak_scaling_efficiency line is gone (VERDICT round 2
+    # item 7): with one real chip it was trivially t(1)/t(1) = 1.0, and an
+    # 8-fake-device CPU mesh was tried and REJECTED as a stand-in (fake
+    # devices share the host's cores, so it measures host parallelism
+    # artifacts, not device scaling). BASELINE metric 3 stands unmeasured
+    # on this rig, not failed; the shard-sensitivity line above carries the
+    # ground truth one chip can still yield. `zotpu bench --workload
+    # scaling` remains for multi-chip rigs.
+
+    # Host input pipeline on .gz fixtures (VERDICT round 2 item 4): per-file
+    # inflate workers + chunk-pipelined inflate; no device work.
+    _log("parse...")
+    pr = run_workload("parse", f"r = harness.bench_parse(total_bases="
+                      f"{4 * total_bases}, k={k})", tmo)
+    if pr:
         _emit({
-            "metric": "weak_scaling_efficiency",
-            "value": eff,
-            "unit": f"t(1)/t({sl['devices']})",
-            "vs_baseline": eff / 0.8,  # BASELINE: >=80% at 2+ hosts
+            "metric": "host_parse_gz_bases_per_s",
+            "value": pr["bases_per_s"],
+            "unit": ("bases/s uncompressed-equivalent host parse "
+                     f"({pr['files']} .gz files, {pr['workers']} workers on "
+                     f"{pr['cores']} cores, "
+                     f"{pr['parallel_speedup']:.2f}x over 1 worker; a "
+                     "single gzip stream is serial to inflate, so this "
+                     "scales with host cores)"),
+            "vs_baseline": pr["bases_per_s"] / 1e9,
         })
-        # One real chip on this rig, so the row above is trivially 1.0.
-        # An 8-fake-device CPU mesh was tried and REJECTED as a stand-in:
-        # fake devices share the host's cores, so "weak scaling" there
-        # measures host parallelism artifacts (0.28 at D=8), not the
-        # program's device scaling. Multi-chip correctness is covered by
-        # the CPU-mesh test suite and the driver's dryrun_multichip; real
-        # efficiency needs real chips (BASELINE metric 3 stands unmeasured
-        # on this rig, not failed).
 
     _log("e2e...")
     # 8x the device-step size (~268 Mbase at defaults, a small bacterial WGS
@@ -190,10 +227,12 @@ def main():
         })
 
     # Print least-important-first so tail truncation keeps what matters;
-    # the FINAL line is the headline the driver parses.
-    order = ["weak_scaling_efficiency", "kmerize_e2e_bases_per_s",
+    # the FINAL line is the headline the driver parses: the per-HOST rate
+    # vs the BASELINE target unit (VERDICT round 2 item 2).
+    order = ["kmerize_sharded_second_round_overhead",
+             "host_parse_gz_bases_per_s", "kmerize_e2e_bases_per_s",
              "scan_kmers_per_s", "setops_merge_gb_per_s",
-             "kmerize_bases_per_s_host_projected"]
+             "kmerize_bases_per_s_chip"]
     # unknown metrics print first (never crash at the very end and discard
     # every measured line -- ADVICE round 2)
     records.sort(key=lambda rec: (order.index(rec["metric"])

@@ -98,6 +98,19 @@ def test_merge_cli(tmp_path, rng, capsys):
     assert np.array_equal(ks.keys, want_k)
     assert np.array_equal(ks.counts, want_c)
 
+    # tiny chunks exercise the streaming accumulator path (each input is
+    # fed in many pieces; host RSS stays O(one input) -- VERDICT r2 item 9)
+    import os
+    out2 = tmp_path / "merged2.zkf"
+    os.environ["ZOTPU_MERGE_CHUNK"] = "64"
+    try:
+        assert run_cli("merge", out2, *paths) == 0
+    finally:
+        del os.environ["ZOTPU_MERGE_CHUNK"]
+    ks2 = container.read(str(out2))
+    assert np.array_equal(ks2.keys, want_k)
+    assert np.array_equal(ks2.counts, want_c)
+
 
 @pytest.mark.parametrize("op,gold", [
     ("union", G.union), ("intersect", G.intersect), ("diff", G.difference)])
@@ -518,3 +531,15 @@ def test_kmerize_from_stdin(tmp_path, rng):
     want_k, want_c = G.kmerize(15, reads)
     assert np.array_equal(got.keys, want_k)
     assert np.array_equal(got.counts, want_c)
+
+
+def test_selftest_cli(capsys):
+    # on CPU the sharded fused-dedup check is skipped (suite covers it in
+    # interpret mode); the five configs still run device-vs-golden
+    assert run_cli("selftest", "-k", 15) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    summary = rows[-1]
+    assert summary["ok"] is True and summary["failed"] == 0
+    names = {r.get("check") for r in rows if "check" in r}
+    assert {"config1_kmerize", "config2_merge", "config3_setops",
+            "config4_hist", "config5_scan"} <= names

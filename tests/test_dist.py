@@ -461,3 +461,95 @@ def test_mixed_embedded_receive_tree_interpret(rng):
     got = S.join_hi_lo(np.asarray(got_h), np.asarray(got_l))
     assert np.array_equal(got[:n_in], want)
     assert np.all(got[n_in:] == np.uint64(0xFFFFFFFFFFFFFFFF))
+
+
+def test_merge_received_runs_fused_dedup_interpret(rng):
+    """merge_received_runs(dedup=True): the final tree pass's in-kernel
+    dedup-mark epilogue == lax.sort + dedup_mark_sorted of the same buffer
+    (same unique (key, count) set and n; keeper ROW differs by design --
+    last-of-segment in-kernel vs first-of-segment in XLA -- which consumers
+    of the marked form are insensitive to)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zotpu.dist.shuffle import merge_received_runs
+    from zotpu.kernels.sort_pallas import TILE_E
+    from zotpu.kernels.sortdedup import dedup_mark_sorted
+
+    def sorted_run(n_valid, cap_r):
+        # tiny key space -> many duplicate keys, within and across runs
+        key = rng.integers(0, 512, size=cap_r).astype(np.uint64)
+        key.sort()
+        key[n_valid:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        return ((key >> np.uint64(32)).astype(np.uint32),
+                key.astype(np.uint32))
+
+    # (1, TILE_E, 0): single run, the epilogue rides an empty-B pair merge
+    # (the D=1 forced-second-round path when the round is gated off)
+    for D, cap, cap2 in ((2, TILE_E, 0), (2, TILE_E, TILE_E),
+                         (4, TILE_E, 0), (1, TILE_E, 0)):
+        parts = [sorted_run(int(rng.integers(cap // 2, cap + 1)), cap)
+                 for _ in range(D)]
+        if cap2:
+            parts += [sorted_run(int(rng.integers(0, cap2 // 4)), cap2)
+                      for _ in range(D)]
+        rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
+        rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
+        uhi, ulo, cnt = merge_received_runs(rhi, rlo, D, cap, cap2,
+                                            interpret=True, dedup=True)
+        shi, slo = jax.lax.sort((rhi, rlo), num_keys=2)
+        whi, wlo, wcnt, wn = dedup_mark_sorted(shi, slo)
+
+        def marked_set(h, l, c):
+            h, l, c = (np.asarray(x) for x in (h, l, c))
+            keep = c != 0
+            keys = (h[keep].astype(np.uint64) << np.uint64(32)) | l[keep]
+            order = np.argsort(keys)
+            return keys[order], c[keep][order]
+
+        gk, gc = marked_set(uhi, ulo, cnt)
+        wk, wc = marked_set(whi, wlo, wcnt)
+        assert np.array_equal(gk, wk), (D, cap, cap2)
+        assert np.array_equal(gc, wc), (D, cap, cap2)
+        assert len(gk) == int(wn)
+        # marked rows are sentinel keys with zero counts
+        g = np.asarray(uhi).astype(np.uint64) << np.uint64(32) | np.asarray(ulo)
+        assert np.all(g[np.asarray(cnt) == 0] == np.uint64(0xFFFFFFFFFFFFFFFF))
+
+
+@pytest.mark.slow
+def test_sharded_step_fused_dedup_interpret(mesh8):
+    """The FULL sharded step with the tree + fused dedup-mark (the TPU-only
+    body path, forced on CPU via interpret=True): marked output absorbs to
+    the same global set as golden, routed comes from the senders' landed
+    counts, and the compacted-step output matches byte-for-byte."""
+    import jax
+
+    from zotpu.kernels.sortdedup import compact_sorted
+
+    k = 17
+    D = 8
+    reads_per_chip, read_len = 8, 70
+    rng = np.random.default_rng(29)
+    seqs, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
+                                      min_len=read_len)
+    step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
+                                        capacity_factor=6.0, compact=False,
+                                        interpret=True)
+    uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
+    assert np.all(np.asarray(overflow) == 0)
+    uhi = np.asarray(uhi).reshape(D, -1)
+    ulo = np.asarray(ulo).reshape(D, -1)
+    counts = np.asarray(counts).reshape(D, -1)
+    # n_unique from the fused path == per-shard count of kept rows
+    assert np.array_equal(np.asarray(n_unique),
+                          (counts != 0).sum(axis=1).astype(np.int32))
+    uhi, ulo, counts = (np.asarray(x) for x in jax.vmap(
+        compact_sorted)(uhi, ulo, counts))
+    keys, cnts = shuffle.gather_global(uhi, ulo, counts, np.asarray(n_unique))
+    want_k, want_c = G.kmerize(k, seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(cnts, want_c)
+    # routed (landed-count psum) sums to the total valid k-mers
+    total_kmers = int(want_c.sum())
+    assert int(np.asarray(routed).sum()) == total_kmers

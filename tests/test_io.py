@@ -3,6 +3,7 @@
 import gzip
 
 import numpy as np
+import pytest
 
 from zotpu import semantics as S
 from zotpu.io import container, fastq
@@ -309,3 +310,68 @@ def test_chunked_kmerize_byte_equal(tmp_path, monkeypatch, rng):
     want_k, want_c = G2.kmerize(15, seqs)
     assert np.array_equal(keys, want_k)
     assert np.array_equal(counts, want_c)
+
+
+def test_prefetch_many_interleaves_and_tags():
+    from zotpu.io.prefetch import prefetch_many
+
+    def gen(base):
+        def g():
+            for i in range(5):
+                yield base * 100 + i
+        return g
+
+    got = list(prefetch_many([gen(1), gen(2), gen(3)], workers=2, depth=4))
+    # every item arrives exactly once, tagged with its source index
+    by_src = {}
+    for tag, item in got:
+        by_src.setdefault(tag, []).append(item)
+    assert sorted(by_src) == [0, 1, 2]
+    for tag, items in by_src.items():
+        assert items == [(tag + 1) * 100 + i for i in range(5)]  # in order
+
+
+def test_prefetch_many_propagates_errors():
+    from zotpu.io.prefetch import prefetch_many
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    def good():
+        yield from range(3)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_many([bad, good], workers=2))
+
+
+def test_parallel_multifile_kmerize_matches_golden(tmp_path, rng,
+                                                   monkeypatch):
+    """Accumulator-mode kmerize parses multiple .gz files in a worker pool
+    (batches interleave across files); the sorted set is interleaving-
+    invariant and must byte-match golden, with exact reads/bases stats."""
+    import gzip
+
+    from zotpu.reference_impl import golden as G
+    from zotpu.workloads import kmerize as W
+
+    monkeypatch.setenv("ZOTPU_PARSE_WORKERS", "3")
+    monkeypatch.setenv("ZOTPU_CHUNK_BYTES", "256")  # many chunks per file
+    paths, all_seqs = [], []
+    for i in range(4):
+        seqs = ["".join(rng.choice(list("ACGTN"), size=70))
+                for _ in range(25)]
+        p = tmp_path / f"in{i}.fastq.gz"
+        with gzip.open(p, "wt") as f:
+            for j, s in enumerate(seqs):
+                f.write(f"@r{i}_{j}\n{s}\n+\n{'I' * len(s)}\n")
+        paths.append(str(p))
+        all_seqs.extend(seqs)
+    stats = W.Stats()
+    keys, counts = W.kmerize_paths(paths, 13, batch_reads=8, max_len=96,
+                                   stats=stats)
+    want_k, want_c = G.kmerize(13, all_seqs)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(counts, want_c)
+    assert stats.reads == len(all_seqs)
+    assert stats.bases == sum(len(s) for s in all_seqs)

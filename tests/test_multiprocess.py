@@ -114,3 +114,106 @@ def test_two_process_kmerize(tmp_path):
     want_k, want_c = G.kmerize(k, seqs)
     assert np.array_equal(keys, want_k)
     assert np.array_equal(cnts, want_c)
+
+
+@pytest.mark.slow
+def test_two_process_scan_cli(tmp_path):
+    """Multi-host hash-sharded scan through the shipped CLI (VERDICT round 2
+    item 3): 2 controllers x 4 fake CPU devices, samples assigned
+    round-robin, panel sharded over the full 8-way mesh -- host 0's summary
+    lines match the golden scan for BOTH samples."""
+    import json
+
+    from zotpu.io import container
+
+    rng = np.random.default_rng(19)
+    src = "".join(rng.choice(list("ACGT"), size=600))
+    panel_keys, _ = G.kmerize(13, [src])
+    panel = tmp_path / "panel.zkf"
+    container.write(str(panel), container.KmerSet(
+        k=13, keys=panel_keys, counts=None))
+
+    paths, wants = [], []
+    for i in range(2):
+        seqs = []
+        for j in range(30):
+            if j % 3 == 0:
+                off = rng.integers(0, len(src) - 80)
+                seqs.append(src[off:off + 80])
+            else:
+                seqs.append("".join(rng.choice(list("ACGTN"), size=80)))
+        p = tmp_path / f"s{i}.fastq"
+        with open(p, "w") as f:
+            for j, s in enumerate(seqs):
+                f.write(f"@r{i}_{j}\n{s}\n+\n{'I' * len(s)}\n")
+        paths.append(str(p))
+        hits = G.scan_panel(13, panel_keys, seqs)
+        wants.append((int(hits.sum()), int((hits > 0).sum())))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ZOTPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = (extra + os.pathsep if extra else "") + repo
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "zotpu", "scan",
+         "--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+         "--process-id", str(pid), "--shards", "8",
+         "--batch-reads", "16", "--max-len", "96",
+         str(panel), *paths],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    rows = [json.loads(l) for l in outs[0].splitlines()
+            if l.startswith("{")]
+    assert len(rows) == 2
+    for row, path, (tot, rwh) in zip(rows, paths, wants):
+        assert row["sample"] == path
+        assert row["total_hits"] == tot, outs[0]
+        assert row["reads_with_hits"] == rwh
+    # host 1 prints no summaries (host 0 owns stdout for them)
+    assert not [l for l in outs[1].splitlines() if l.startswith("{")]
+
+
+@pytest.mark.slow
+def test_two_process_spill_resume(tmp_path):
+    """Multi-controller restartability (VERDICT round 2 item 5): per-host
+    spills, crash after batch 1, resume reuses each host's completed runs,
+    and a host losing one spill forces that batch to recompute everywhere
+    -- final set byte-equal to golden each time."""
+    rng = np.random.default_rng(31)
+    all_seqs = []
+    for i in range(2):
+        seqs = ["".join(rng.choice(list("ACGT"), size=90)) for _ in range(40)]
+        with open(tmp_path / f"in{i}.fastq", "w") as f:
+            for j, s in enumerate(seqs):
+                f.write(f"@r{i}_{j}\n{s}\n+\n{'I' * len(s)}\n")
+        all_seqs.extend(seqs)
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multiproc_spill_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = (extra + os.pathsep if extra else "") + repo
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    want_k, want_c = G.kmerize(17, all_seqs)
+    for pid in range(2):  # allgather: every host holds the global set
+        data = np.load(tmp_path / f"spillres{pid}.npz")
+        assert np.array_equal(data["keys"], want_k), outs[pid]
+        assert np.array_equal(data["counts"], want_c)

@@ -131,6 +131,11 @@ def test_bench_cli_small(capsys):
     recs = [_json.loads(l) for l in lines]
     names = {r["workload"] for r in recs}
     assert {"kmerize", "setops_merge", "kmerize_scaling",
-            "kmerize_shard_model", "kmerize_e2e"} <= names
+            "kmerize_shard_model", "kmerize_shard_sensitivity",
+            "host_parse_gz", "kmerize_e2e"} <= names
+    sens = next(r for r in recs
+                if r["workload"] == "kmerize_shard_sensitivity")
+    assert sens["second_round_overhead"] > 0
+    assert len(sens["load_sweep"]) == 3
     e2e = next(r for r in recs if r["workload"] == "kmerize_e2e")
     assert e2e["bases"] > 0 and e2e["unique"] > 0

@@ -43,24 +43,28 @@ def _load_padded(path: str):
     return ks, counts
 
 
-def _init_multihost(args):
+def _init_multihost(args, files=None, assign=True):
     """Bring up jax.distributed from the CLI flags (multi-host runs).
 
-    Returns (process_id, inputs_for_this_host). Input files are assigned
-    round-robin across hosts (data-parallel reading, SURVEY.md section 2b);
-    every host must still be launched with the same command line."""
+    Returns (process_id, files_for_this_host). ``files`` (default
+    args.inputs) are assigned round-robin across hosts when ``assign``
+    (data-parallel reading, SURVEY.md section 2b); scan passes assign=False
+    because pulldown_paths_sharded owns the sample assignment (it must index
+    results by GLOBAL sample position). Every host must still be launched
+    with the same command line."""
     import jax
 
     from zotpu.dist import mesh as M
+    files = args.inputs if files is None else files
     if not args.num_processes or args.num_processes <= 1:
-        return 0, args.inputs
+        return 0, files
     if args.process_id is None or args.coordinator is None:
         raise ValueError(
             "--num-processes needs --coordinator HOST:PORT and --process-id")
     M.init_distributed(args.coordinator, args.num_processes, args.process_id)
     if args.shards <= 1:
         args.shards = len(jax.devices())
-    local = args.inputs[args.process_id::args.num_processes]
+    local = (files[args.process_id::args.num_processes] if assign else files)
     logger_host = jax.process_index()
     return logger_host, local
 
@@ -127,26 +131,67 @@ def _read_all_seqs(paths):
 
 
 def cmd_merge(args):
-    sets = []
-    k = None
-    for p in args.inputs:
-        ks, counts = _load_padded(p)
-        if k is None:
-            k = ks.k
-        elif ks.k != k:
-            print(f"error: K mismatch: {p} has k={ks.k}, expected {k}", file=sys.stderr)
-            return 1
-        sets.append((ks.keys, counts))
+    """Merge N sets, counts summed (BASELINE config 2).
+
+    Device path: inputs stream ONE AT A TIME in fixed-size chunks through
+    the log-structured device accumulator (workloads/accumulator.py), so
+    host RSS peaks at O(one input + chunk buffers) no matter how many
+    multi-GB runs are merged (VERDICT round 2 item 9 -- the old path
+    materialized every input before the merge tree). Saturating count
+    addition is order-insensitive here (partial sums only grow, so every
+    order reaches 0xFFFFFFFF on overflow), hence bytes match the old tree.
+    --host keeps the golden numpy oracle (loads everything; small data)."""
     if args.host:
+        sets = []
+        k = None
+        for p in args.inputs:
+            ks, counts = _load_padded(p)
+            if k is None:
+                k = ks.k
+            elif ks.k != k:
+                print(f"error: K mismatch: {p} has k={ks.k}, expected {k}",
+                      file=sys.stderr)
+                return 1
+            sets.append((ks.keys, counts))
         from zotpu.workloads.kmerize import merge_runs
         keys, counts = merge_runs(sets, force_host=True)
+        n_in = len(sets)
     else:
-        from zotpu.workloads.setops import merge_tree_device
-        keys, counts = merge_tree_device(sets)
+        import jax.numpy as jnp
+
+        from zotpu.workloads.accumulator import DeviceAccumulator
+        CHUNK = int(os.environ.get("ZOTPU_MERGE_CHUNK", 1 << 22))
+        acc = None
+        k = None
+        n_in = 0
+        for p in args.inputs:
+            ks, counts = _load_padded(p)
+            n_in += 1
+            if k is None:
+                k = ks.k
+            elif ks.k != k:
+                print(f"error: K mismatch: {p} has k={ks.k}, expected {k}",
+                      file=sys.stderr)
+                return 1
+            if acc is None:
+                acc = DeviceAccumulator(CHUNK, max_cap=args.merge_capacity)
+            for lo in range(0, ks.n, CHUNK):
+                kc = ks.keys[lo:lo + CHUNK]
+                hi32, lo32 = S.split_hi_lo(kc)
+                acc.add(jnp.asarray(hi32), jnp.asarray(lo32),
+                        jnp.asarray(counts[lo:lo + CHUNK].astype(np.uint32)),
+                        len(kc))
+            del ks, counts  # free before the next input loads
+        if acc is None:
+            keys = np.empty(0, np.uint64)
+            counts = np.empty(0, S.COUNT_DTYPE)
+        else:
+            keys, counts = acc.result()
     container.write(args.output, container.KmerSet(
         k=k, keys=keys, counts=counts, meta={"tool": "zotpu merge"}),
         codec=args.codec or "raw")
-    print(json.dumps({"command": "merge", "inputs": len(sets), "unique": len(keys)}))
+    print(json.dumps({"command": "merge", "inputs": n_in,
+                      "unique": len(keys)}))
     return 0
 
 
@@ -253,6 +298,11 @@ def cmd_scan(args):
     # Overlong reads are halo-chunked into several device rows; pulldown
     # re-aggregates rows per input record via CodeBatch.record_ids, so all
     # outputs (totals, reads_with_hits, --per-read rows) stay record-aligned.
+    # Multi-host (--coordinator ...): the panel shards over the full mesh
+    # and samples are assigned round-robin to hosts (BASELINE config 5
+    # "hash-sharded across hosts"); distributed init MUST precede device use.
+    host_id, _ = _init_multihost(args, files=args.samples, assign=False)
+    multi = args.num_processes is not None and args.num_processes > 1
     panel, _ = _load_padded(args.panel)
     from zotpu.workloads import pulldown
     if args.host:
@@ -271,10 +321,21 @@ def cmd_scan(args):
         results = pulldown.pulldown_paths(
             panel.keys, args.samples, panel.k,
             batch_reads=args.batch_reads, max_len=args.max_len)
-    out_fh = open(args.out_reads, "w") if args.out_reads else None
+    # multi-host: every host holds all summary stats (allgathered); host 0
+    # prints them. Per-read vectors exist only on the sample's owning host,
+    # which prints/writes them (each host gets its own --out-reads file,
+    # suffixed .pN, so hosts on shared storage never clobber one another).
+    out_path = args.out_reads
+    if out_path and multi:
+        out_path = f"{out_path}.p{host_id}"
+    out_fh = open(out_path, "w") if out_path else None
     for path, (total, reads_hit, per_read) in zip(args.samples, results):
-        print(json.dumps({"command": "scan", "sample": path, "k": panel.k,
-                          "total_hits": total, "reads_with_hits": reads_hit}))
+        if host_id == 0:
+            print(json.dumps({"command": "scan", "sample": path,
+                              "k": panel.k, "total_hits": total,
+                              "reads_with_hits": reads_hit}))
+        if per_read is None:
+            continue  # multi-host: another host owns this sample's rows
         if args.per_read:
             for i, h in enumerate(per_read):
                 print(f"{path}\t{i}\t{h}")
@@ -566,6 +627,14 @@ def cmd_casket(args):
     raise AssertionError(args.verb)
 
 
+def cmd_selftest(args):
+    """On-device self-test: the five BASELINE configs byte-compared against
+    golden on the selected backend (the pre-bench gate on real TPU;
+    SURVEY.md section 4 item 6 / VERDICT round 2 item 6)."""
+    from zotpu.selftest import run_selftest
+    return run_selftest(k=args.k)
+
+
 def cmd_bench(args):
     from zotpu.bench import harness
     return harness.run(args)
@@ -586,6 +655,15 @@ def build_parser() -> argparse.ArgumentParser:
         if batch:
             sp.add_argument("--batch-reads", type=int, default=4096)
             sp.add_argument("--max-len", type=int, default=256)
+
+    def multihost(sp):
+        sp.add_argument("--coordinator", default=None,
+                        help="HOST:PORT of process 0 for multi-host runs "
+                             "(jax.distributed)")
+        sp.add_argument("--num-processes", type=int, default=None,
+                        help="total controller processes in a multi-host run")
+        sp.add_argument("--process-id", type=int, default=None,
+                        help="this process's id in [0, num-processes)")
 
     def out_codec(sp):
         sp.add_argument("--codec", choices=("raw", "zlib", "delta"),
@@ -619,13 +697,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append JSONL stage metrics to this file")
     sp.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
-    sp.add_argument("--coordinator", default=None,
-                    help="HOST:PORT of process 0 for multi-host runs "
-                         "(jax.distributed)")
-    sp.add_argument("--num-processes", type=int, default=None,
-                    help="total controller processes in a multi-host run")
-    sp.add_argument("--process-id", type=int, default=None,
-                    help="this process's id in [0, num-processes)")
+    multihost(sp)
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
     common(sp, batch=True)
@@ -634,6 +706,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("merge", help="merge N sets, summing counts")
     sp.add_argument("output")
     sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--merge-capacity", type=int, default=1 << 26,
+                    help="device accumulator capacity in unique k-mers")
     common(sp)
     out_codec(sp)
     sp.set_defaults(fn=cmd_merge)
@@ -682,6 +756,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--shards", type=int, default=1,
                     help="hash-shard the panel across N local devices "
                          "(power of two; all-to-all k-mer routing)")
+    multihost(sp)
     common(sp, batch=True)
     sp.set_defaults(fn=cmd_scan)
 
@@ -789,10 +864,17 @@ def build_parser() -> argparse.ArgumentParser:
     out_codec(c)
     c.set_defaults(fn=cmd_casket)
 
+    sp = sub.add_parser("selftest",
+                        help="run the five BASELINE configs device-vs-golden "
+                             "on the current backend (pre-bench gate)")
+    sp.add_argument("-k", type=int, default=25, dest="k")
+    sp.set_defaults(fn=cmd_selftest)
+
     sp = sub.add_parser("bench", help="performance harness")
     sp.add_argument("--workload", default="kmerize",
                     choices=["kmerize", "setops", "setops-sort", "scan",
-                             "scaling", "shard-model", "e2e", "all"])
+                             "scaling", "shard-model", "shard-sensitivity",
+                             "parse", "e2e", "all"])
     sp.add_argument("--bases", type=int, default=1 << 26)
     sp.add_argument("--k", type=int, default=25)
     sp.add_argument("--repeats", type=int, default=3)

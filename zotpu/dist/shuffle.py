@@ -140,8 +140,11 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     predicate takes the same branch on every device, which keeps the
     collective inside the taken branch coherent. The skipped branch emits
     the sentinel-filled buffers the downstream static shapes expect.
-    Returns (recv, overflow, need2) where ``need2`` is the replicated
-    bool flag (False when capacity2 == 0).
+    Returns (recv, overflow, need2, landed) where ``need2`` is the
+    replicated bool flag (False when capacity2 == 0) and ``landed`` is the
+    (n_shards,) count of THIS sender's valid entries that landed in each
+    destination's buckets -- psum it to get per-shard received volumes
+    without scanning the received buffer (the routing-skew stat).
     """
     p = shard_bits(n_shards)
     m = hi.shape[0]
@@ -156,6 +159,12 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     # same here -- XLA handles this monotonic scatter well -- but the slice
     # form guarantees it stays off the 0.13 Gelem/s general-scatter path
     # and reads as what it is: segment placement.)
+    # PRACTICAL D BOUND: the fill unrolls n_shards dynamic slices per
+    # channel, so program size grows O(D) -- fine through D <= 256 (a v5e
+    # pod slice), a compile-size trap toward the D = 8192 the owner
+    # embedding could address. Past ~256 shards, batch the fill as one
+    # lax.map over a stacked starts vector before reaching for bigger
+    # meshes (VERDICT round 2 weak item 7).
     starts = jnp.searchsorted(owner, jnp.arange(n_shards, dtype=jnp.int32)
                               ).astype(jnp.int32)
     sizes = jnp.diff(jnp.concatenate([starts,
@@ -187,6 +196,15 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
 
     recv, n_ok = round_bufs(0, capacity)
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    # Valid rows form a prefix of the owner-sorted input (sentinels carry the
+    # max key / max mix, so they sort last -- exact for prefix and embedded-
+    # owner sharding; the separate-mix-channel fallback could interleave a
+    # real key whose 32-bit mix is 0xFFFFFFFF, a 2^-32 stat-only corner), so
+    # this sender's valid count per destination is a clamped range length --
+    # O(D) work replacing the old full scan of the received buffer.
+    ends = jnp.concatenate([starts[1:], jnp.array([m], jnp.int32)])
+    v_dest = jnp.minimum(ends, n_valid) - jnp.minimum(starts, n_valid)
+    landed = jnp.minimum(v_dest, capacity + capacity2)
     if capacity2 > 0:
         need2 = jax.lax.psum(n_valid - n_ok, AXIS) > 0
 
@@ -205,11 +223,11 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     else:
         need2 = jnp.zeros((), bool)
         overflow = n_valid - n_ok
-    return recv, overflow, need2
+    return recv, overflow, need2, landed
 
 
 def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
-                        interpret: bool = False):
+                        interpret: bool = False, dedup: bool = False):
     """Receive-side sort for PREFIX sharding: a streaming merge tree.
 
     The received buffer is [n_shards runs of cap | n_shards runs of cap2],
@@ -226,12 +244,31 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
     its owner-EMBEDDED form (_mixed_owner_sort with owner bits stripped
     before this call); NOT for the separate-mix-channel fallback, whose
     buckets are mix-ordered.
+
+    ``dedup=True`` fuses the dedup-mark epilogue into the tree's FINAL pass
+    (kernels/sort_pallas.stream_merge_{pass,pair}_dedup_pallas) and returns
+    (uhi, ulo, counts) in the sentinel-marked form of
+    kernels/sortdedup.dedup_mark_sorted -- the separate ~9 ms XLA dedup pass
+    over the merged array disappears from the per-batch chip step
+    (VERDICT round 2 item 1). Keeper rows are each segment's LAST element
+    (extent known when it streams past); consumers of the marked form
+    re-sort anyway, so the output set is byte-identical.
     """
     from zotpu.kernels import sort_pallas as SP
 
     h1, l1 = rhi[:n_shards * cap], rlo[:n_shards * cap]
     run = cap
+    if dedup and cap2 == 0 and n_shards == 1:
+        # one run, nothing to merge (D=1 with the forced second round gated
+        # off): the dedup epilogue still has to run -- a pair pass against
+        # an EMPTY B side is the identity merge + epilogue
+        return SP.stream_merge_pair_dedup_pallas(h1, l1, nA=cap,
+                                                 interpret=interpret)
     while run < n_shards * cap:
+        final = dedup and cap2 == 0 and run * 2 >= n_shards * cap
+        if final:
+            return SP.stream_merge_pass_dedup_pallas(h1, l1, run,
+                                                     interpret=interpret)
         h1, l1, _ = SP.stream_merge_pass_pallas(h1, l1, None, run,
                                                 interpret=interpret)
         run *= 2
@@ -245,6 +282,9 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
         run *= 2
     h = jnp.concatenate([h1, h2])
     l = jnp.concatenate([l1, l2])
+    if dedup:
+        return SP.stream_merge_pair_dedup_pallas(h, l, nA=n_shards * cap,
+                                                 interpret=interpret)
     h, l, _ = SP.stream_merge_pair_pallas(h, l, None, nA=n_shards * cap,
                                           interpret=interpret)
     return h, l
@@ -253,7 +293,9 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
                       capacity_factor: float = 2.0, compact: bool = True,
                       second_round: bool = True, wire: bool = False,
-                      shard_hash: str = "prefix"):
+                      shard_hash: str = "prefix", interpret: bool = False,
+                      force_second_round: bool = False,
+                      _bench_no_dedup: bool = False):
     """Build the jitted multi-chip kmerize step.
 
     Input (global): codes (D*reads_per_chip, read_len) u8, lengths (D*R,).
@@ -284,6 +326,16 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     key-sorted, but shard key ranges interleave). A key still maps to
     exactly ONE shard, so duplicates always meet and output bytes are
     identical (SURVEY.md section 7 "hard parts": measure both).
+
+    ``force_second_round=True`` enables the overflow round even at D=1 (with
+    the tree/fused-dedup receive path), so one chip can MEASURE the
+    skew-path cost: pick a capacity_factor < 1 and the spill into the second
+    round is exercised on real silicon (bench --workload shard-model).
+    ``_bench_no_dedup=True`` is bench-only: it skips the dedup stage so the
+    D=1 step isolates pack+sort+fill+route (at D >= 2 dedup rides the
+    receive tree's last pass, so the honest per-chip model composes this
+    no-dedup term with the fused-dedup tree term); its outputs are NOT a
+    valid k-mer set.
     """
     S.check_k(k)
     from zotpu.kernels.dispatch import use_pallas
@@ -291,7 +343,8 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     D = mesh.devices.size
     m_local = reads_per_chip * (read_len - k + 1)
     cap = int(np.ceil(m_local * capacity_factor / D))
-    cap2 = (cap + 3) // 4 if second_round and D > 1 else 0
+    cap2 = ((cap + 3) // 4
+            if (second_round and D > 1) or force_second_round else 0)
     # receive-side sort strategy: the received buffer is D key-sorted runs
     # -- always true for prefix sharding (a bucket is a contiguous slice of
     # the sender's key-sorted array), and true for mixed sharding when the
@@ -304,8 +357,10 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     p_pre = shard_bits(D)
     tree_order_ok = (shard_hash == "prefix"
                      or _embed_bits(k, p_pre) is not None)
-    use_tree = (tree_order_ok and D > 1 and (D & (D - 1)) == 0
-                and use_pallas())
+    # interpret=True (tests) forces the tree path on CPU through the Pallas
+    # interpreter, so the TPU-only fused-dedup body compiles and runs in CI
+    use_tree = (tree_order_ok and (D > 1 or force_second_round)
+                and (D & (D - 1)) == 0 and (use_pallas() or interpret))
     if use_tree:
         from zotpu.kernels.sort_pallas import TILE_E
         cap = -(-cap // TILE_E) * TILE_E
@@ -325,36 +380,75 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         if shard_hash == "mixed" and p_bits > 0:
             # sentinels route to the last shard, weightless (as in prefix)
             hi, lo, owner, _, _ = _mixed_owner_sort(hi, lo, k, p_bits, D)
-            (rhi, rlo), overflow, need2 = _route(hi, lo, k, D, cap,
-                                                 capacity2=cap2, owner=owner)
+            (rhi, rlo), overflow, need2, landed = _route(
+                hi, lo, k, D, cap, capacity2=cap2, owner=owner)
             rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-            (rhi, rlo), overflow, need2 = _route(hi, lo, k, D, cap,
-                                                 capacity2=cap2)
-        routed = jnp.sum((~((rhi == SENT32) & (rlo == SENT32))).astype(jnp.int32))
+            (rhi, rlo), overflow, need2, landed = _route(hi, lo, k, D, cap,
+                                                         capacity2=cap2)
+        # per-shard received volume from the senders' O(D) landed counts --
+        # the old full compare+sum over the received buffer is off the step
+        routed = jax.lax.psum(landed, AXIS)[jax.lax.axis_index(AXIS)]
+        # The tree's final pass fuses the dedup-mark epilogue when the
+        # consumer takes the marked form (the sharded accumulator): the
+        # merged array never round-trips HBM for a separate XLA dedup pass
+        # (VERDICT round 2 item 1).
+        fuse_dedup = use_tree and not compact and not _bench_no_dedup
         if D == 1 and cap2 == 0:
             pass         # one bucket run = the sender's sorted array, as-is
         elif use_tree and cap2 == 0:
-            rhi, rlo = merge_received_runs(rhi, rlo, D, cap, 0)
+            if fuse_dedup:
+                uhi, ulo, counts = merge_received_runs(
+                    rhi, rlo, D, cap, 0, dedup=True, interpret=interpret)
+            else:
+                rhi, rlo = merge_received_runs(rhi, rlo, D, cap, 0,
+                                               interpret=interpret)
         elif use_tree:
             # round-2 half gated on the same replicated flag as its fill:
             # when nothing overflowed the tail is all sentinel (= max key),
             # so first-round-merged || sentinel-tail is already sorted
-            def tree_full(_):
-                return merge_received_runs(rhi, rlo, D, cap, cap2)
+            if fuse_dedup:
+                def tree_full(_):
+                    return merge_received_runs(rhi, rlo, D, cap, cap2,
+                                               dedup=True,
+                                               interpret=interpret)
 
-            def tree_first(_):
-                h1, l1 = merge_received_runs(rhi[:D * cap], rlo[:D * cap],
-                                             D, cap, 0)
-                return (jnp.concatenate([h1, rhi[D * cap:]]),
-                        jnp.concatenate([l1, rlo[D * cap:]]))
+                def tree_first(_):
+                    u1, l1, c1 = merge_received_runs(
+                        rhi[:D * cap], rlo[:D * cap], D, cap, 0, dedup=True,
+                        interpret=interpret)
+                    return (jnp.concatenate([u1, rhi[D * cap:]]),
+                            jnp.concatenate([l1, rlo[D * cap:]]),
+                            jnp.concatenate(
+                                [c1, jnp.zeros(D * cap2, jnp.uint32)]))
 
-            rhi, rlo = jax.lax.cond(need2, tree_full, tree_first,
-                                    operand=None)
+                uhi, ulo, counts = jax.lax.cond(need2, tree_full, tree_first,
+                                                operand=None)
+            else:
+                def tree_full(_):
+                    return merge_received_runs(rhi, rlo, D, cap, cap2,
+                                               interpret=interpret)
+
+                def tree_first(_):
+                    h1, l1 = merge_received_runs(rhi[:D * cap],
+                                                 rlo[:D * cap], D, cap, 0,
+                                                 interpret=interpret)
+                    return (jnp.concatenate([h1, rhi[D * cap:]]),
+                            jnp.concatenate([l1, rlo[D * cap:]]))
+
+                rhi, rlo = jax.lax.cond(need2, tree_full, tree_first,
+                                        operand=None)
         else:
             rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
-        if compact:
+        if fuse_dedup and not (D == 1 and cap2 == 0):
+            n = jnp.sum((counts != 0).astype(jnp.int32))
+        elif _bench_no_dedup:
+            valid_r = ~((rhi == SENT32) & (rlo == SENT32))
+            uhi, ulo = rhi, rlo
+            counts = valid_r.astype(jnp.uint32)
+            n = jnp.sum(valid_r.astype(jnp.int32))
+        elif compact:
             uhi, ulo, counts, n = dedup_count_sorted(rhi, rlo)
         else:
             uhi, ulo, counts, n = dedup_mark_sorted(rhi, rlo)
@@ -382,6 +476,70 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         check_vma=False,
         )
     return jax.jit(fn), cap_out
+
+
+def gather_local_rows(uhi, ulo, counts, n_unique, reorder: bool = False):
+    """Multi-controller: THIS host's addressable shard rows -> (keys, counts).
+
+    The step outputs are global (D, cap) arrays sharded P(AXIS, None); a
+    host may only read its own devices' shards. Rows concatenate in shard
+    order, so for prefix sharding the host-local result is itself sorted
+    (a host's devices own contiguous key-prefix ranges); mixed sharding
+    passes reorder=True (its shard key ranges interleave, and per-batch
+    spill runs must be sorted for the final merge)."""
+    def by_shard(arr):
+        return {s.index[0].start or 0: np.asarray(s.data)
+                for s in arr.addressable_shards}
+
+    hs, ls = by_shard(uhi), by_shard(ulo)
+    cs, ns = by_shard(counts), by_shard(n_unique)
+    keys_out, cnt_out = [], []
+    for d in sorted(hs):
+        n = int(ns[d][0])
+        keys_out.append(S.join_hi_lo(hs[d][0, :n], ls[d][0, :n]))
+        cnt_out.append(cs[d][0, :n].astype(S.COUNT_DTYPE))
+    keys = np.concatenate(keys_out) if keys_out else np.empty(0, np.uint64)
+    cnts = np.concatenate(cnt_out) if cnt_out else np.empty(0, S.COUNT_DTYPE)
+    if reorder and len(keys):
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+    return keys, cnts
+
+
+def allgather_host_sets(keys, cnts, reorder: bool = False):
+    """Combine per-host (keys, counts) into the global set on EVERY host.
+
+    Shard key ranges are disjoint, so no count combining happens; prefix
+    sharding concatenates sorted (hosts hold ascending shard ranges in
+    process order), mixed passes reorder=True for a final stable sort.
+    u64 keys ride as (hi, lo) u32 pairs (x64 stays off); lengths pad to the
+    max across hosts."""
+    from jax.experimental import multihost_utils as mh
+
+    hi, lo = S.split_hi_lo(keys)
+    n = len(keys)
+    ns = mh.process_allgather(np.asarray([n], np.int32), tiled=True)
+    m = max(int(ns.max()), 1)
+
+    def pad(x):
+        out = np.zeros(m, x.dtype)
+        out[:len(x)] = x
+        return out[None]
+
+    gh = mh.process_allgather(pad(hi), tiled=True)
+    gl = mh.process_allgather(pad(lo), tiled=True)
+    gc = mh.process_allgather(pad(cnts.astype(np.uint32)), tiled=True)
+    keys_out, cnt_out = [], []
+    for p in range(len(ns)):
+        np_ = int(ns[p])
+        keys_out.append(S.join_hi_lo(gh[p, :np_], gl[p, :np_]))
+        cnt_out.append(gc[p, :np_].astype(S.COUNT_DTYPE))
+    keys = np.concatenate(keys_out)
+    cnts = np.concatenate(cnt_out)
+    if reorder and len(keys):
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+    return keys, cnts
 
 
 def gather_global(uhi, ulo, counts, n_unique, reorder: bool = False):
@@ -454,13 +612,13 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         if shard_hash == "mixed" and p_bits > 0:
             hi, lo, owner, (rid,), _ = _mixed_owner_sort(
                 hi, lo, k, p_bits, D, payload=(rid,))
-            (rhi, rlo, rrid), overflow, _need2 = _route(
+            (rhi, rlo, rrid), overflow, _need2, _landed = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2,
                 owner=owner)
             rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
-            (rhi, rlo, rrid), overflow, _need2 = _route(
+            (rhi, rlo, rrid), overflow, _need2, _landed = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2)
         # membership = sort-merge join vs this shard's panel range (the
         # round-1 binary search gathered the panel per bisection step; see

@@ -130,6 +130,53 @@ def _chunk_bytes() -> int:
     return int(os.environ.get("ZOTPU_CHUNK_BYTES", 64 << 20))
 
 
+def _iter_file_chunks(path: str):
+    with open_file(path, "rb") as f:
+        while True:
+            data = f.read(_chunk_bytes())
+            if not data:
+                return
+            yield data
+
+
+class _ChunkPipe:
+    """File-like ``.read()`` facade over a prefetch()'d chunk generator.
+
+    For .gz inputs the zlib inflate (GIL-released) then runs in its OWN
+    thread, overlapped with the parse/encode stages downstream -- the
+    chunk-pipelined half of the parallel host input pipeline (SURVEY.md
+    section 7 "gzip inflation ... overlapped"; a single gzip STREAM is
+    inherently serial to inflate, so within one file this pipelining is the
+    whole opportunity -- cross-file parallelism is io/prefetch.prefetch_many).
+    RSS stays flat: at most ``depth`` chunks are buffered."""
+
+    def __init__(self, path: str):
+        from zotpu.io.prefetch import prefetch
+        self._gen = prefetch(_iter_file_chunks(path), depth=2)
+
+    def read(self, n: int = -1) -> bytes:  # n ignored: chunks are pre-sized
+        return next(self._gen, b"")
+
+    def close(self) -> None:
+        self._gen.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _open_chunks(path: str):
+    """Chunk source for the batched parsers; .gz pipelines inflate into its
+    own thread (ZOTPU_PIPELINE_INFLATE=1 forces it for any file, =0 off)."""
+    import os
+    mode = os.environ.get("ZOTPU_PIPELINE_INFLATE", "auto")
+    if mode == "1" or (mode == "auto" and path.endswith(".gz")):
+        return _ChunkPipe(path)
+    return open_file(path, "rb")
+
+
 class _BatchEmitter:
     """Accumulates encoded rows into fixed-shape CodeBatch-es.
 
@@ -227,7 +274,7 @@ def _fastq_batches_chunked(path: str, max_reads: int, max_len: int,
     lib_ok = native.get_lib() is not None
     em = _BatchEmitter(max_reads, max_len)
     rec0 = 0
-    with open_file(path, "rb") as f:
+    with _open_chunks(path) as f:
         carry = b""
         while True:
             data = f.read(_chunk_bytes())
@@ -360,7 +407,7 @@ def _fasta_batches_chunked(path: str, max_reads: int, max_len: int,
         cur = np.empty(0, np.uint8)
         rows_emitted = 0
 
-    with open_file(path, "rb") as f:
+    with _open_chunks(path) as f:
         carry = b""
         while True:
             data = f.read(_chunk_bytes())

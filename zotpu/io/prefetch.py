@@ -60,3 +60,70 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
         t.join(timeout=5)
     if err:
         raise err[0]
+
+
+def prefetch_many(factories, workers: int = 4, depth: int = 8):
+    """Run up to ``workers`` generators concurrently, one thread each (the
+    next factory starts as a worker frees up), buffering items in ONE
+    bounded shared queue (flat RSS). Yields ``(factory_index, item)`` in
+    arrival order -- consumers that need per-source continuity key their
+    state by the index.
+
+    This is the multi-file half of the parallel host input pipeline
+    (SURVEY.md section 7 "gzip inflation parallelized across files"): zlib
+    inflate, numpy encode, and the native parser all release the GIL, so
+    W workers genuinely decompress W files at once.
+    """
+    factories = list(factories)
+    if not factories:
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    errs: list[BaseException] = []
+    pending = list(enumerate(factories))
+    lock = threading.Lock()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        while not stop.is_set():
+            with lock:
+                if not pending:
+                    return
+                idx, fac = pending.pop(0)
+            try:
+                for item in fac():
+                    if not _put((idx, item)):
+                        return
+            except BaseException as e:  # re-raised in the consumer
+                errs.append(e)
+                return
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(min(workers, len(factories)))]
+    for t in threads:
+        t.start()
+
+    def closer():
+        for t in threads:
+            t.join()
+        _put(_SENTINEL)
+
+    threading.Thread(target=closer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        stop.set()
+    if errs:
+        raise errs[0]

@@ -26,6 +26,14 @@ def setup(cache_dir: str | None = None) -> None:
         jax.config.update("jax_platforms", plat)
     cache = (cache_dir or os.environ.get("ZOTPU_JAX_CACHE")
              or os.path.expanduser("~/.cache/zotpu_jax"))
+    if cache in ("off", "0", ""):
+        # tests disable the persistent cache outright: cache WRITES
+        # (executable serialize + zstd compress) have segfaulted flaky in
+        # long CPU suite runs, and a crashed write once corrupted an entry
+        # that a later process crashed deserializing. CPU compiles are
+        # cheap; the cache's value is the minutes-long remote TPU compiles.
+        _CACHE_SET = True
+        return
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

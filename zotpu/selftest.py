@@ -1,0 +1,171 @@
+"""On-device self-test: the five BASELINE configs, device vs golden, in-process.
+
+Motivation (VERDICT round 2 item 6 / SURVEY.md section 4 item 6): the test
+suite deliberately forces CPU (chip contention + remote compiles), Pallas
+kernels are covered there in interpret mode, and round 2's slack/sentinel-tie
+corruption was caught on SILICON, not by the CPU suite. `zotpu selftest` is
+the pre-bench gate: it runs every device path on small deterministic fixtures
+against the golden reference ON WHATEVER BACKEND JAX SELECTED (the real TPU
+in production) and byte-compares. Warm (compile cache populated) it takes
+well under 2 minutes; the first run pays remote compiles.
+
+Checks beyond the five configs:
+- sentinel-heavy scan (short/N reads -> many invalid pack windows): the
+  round-2.2 tie-break corruption class;
+- the sharded step's fused-dedup receive path, exercised on ONE chip via
+  dist/shuffle.make_kmerize_step(force_second_round=True) -- both the
+  gated-off and the taken overflow round (TPU only; on CPU the tree path is
+  interpret-tested by the suite instead).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from zotpu import semantics as S
+from zotpu.reference_impl import golden as G
+
+
+def _mk_reads(rng, genome: str, n: int, length: int, frac_genomic: float,
+              with_n: bool = True) -> list[str]:
+    reads = []
+    for i in range(n):
+        if rng.random() < frac_genomic:
+            off = rng.integers(0, len(genome) - length)
+            reads.append(genome[off:off + length])
+        else:
+            alpha = "ACGTN" if with_n and i % 4 == 0 else "ACGT"
+            reads.append("".join(rng.choice(list(alpha), size=length)))
+    return reads
+
+
+def run_selftest(k: int = 25, verbose_print=print) -> int:
+    """Returns 0 when every check is byte-equal, 1 otherwise."""
+    import jax
+
+    from zotpu.workloads import kmerize as WK
+    from zotpu.workloads import pulldown as WP
+    from zotpu.workloads import setops as WS
+    from zotpu.workloads import spectrum as WSp
+
+    checks: list[tuple[str, bool, str]] = []
+    t_start = time.perf_counter()
+
+    def check(name: str, ok: bool, detail: str = ""):
+        checks.append((name, bool(ok), detail))
+        verbose_print(json.dumps({"check": name, "ok": bool(ok),
+                                  **({"detail": detail} if detail else {})}))
+
+    rng = np.random.default_rng(20260819)
+    genome = "".join(rng.choice(list("ACGT"), size=20000))
+    reads_a = _mk_reads(rng, genome, 600, 128, 0.7)
+    reads_b = _mk_reads(rng, genome, 500, 128, 0.5)
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "a.fastq")
+        fb = os.path.join(d, "b.fastq")
+        for path, reads in ((fa, reads_a), (fb, reads_b)):
+            with open(path, "w") as f:
+                for i, r in enumerate(reads):
+                    f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+        # config 1: kmerize, device accumulator path vs golden
+        keys_a, cnt_a = WK.kmerize_paths([fa], k, batch_reads=256,
+                                         max_len=128)
+        gk_a, gc_a = G.kmerize(k, reads_a)
+        check("config1_kmerize",
+              np.array_equal(keys_a, gk_a) and np.array_equal(cnt_a, gc_a),
+              f"{len(gk_a)} unique")
+
+        keys_b, cnt_b = WK.kmerize_paths([fb], k, batch_reads=256,
+                                         max_len=128)
+        gk_b, gc_b = G.kmerize(k, reads_b)
+
+        # config 2: merge via the device tree
+        mk, mc = WS.merge_tree_device([(keys_a, cnt_a), (keys_b, cnt_b)])
+        wk, wc = G.merge([(gk_a, gc_a), (gk_b, gc_b)])
+        check("config2_merge",
+              np.array_equal(mk, wk) and np.array_equal(mc, wc),
+              f"{len(wk)} unique")
+
+        # config 3: set algebra (fused merge kernel dispatch on TPU)
+        ok3 = True
+        for op, gold in (("union", G.union), ("intersect", G.intersect),
+                         ("diff", G.difference)):
+            dk, dc = WS.set_op((keys_a, cnt_a), (keys_b, cnt_b), op=op)
+            wk3, wc3 = gold((gk_a, gc_a), (gk_b, gc_b))
+            ok3 &= np.array_equal(dk, wk3) and np.array_equal(dc, wc3)
+        check("config3_setops", ok3)
+
+        # config 4: spectrum + cutoff
+        h_dev = WSp.spectrum(cnt_a, max_count=64)
+        h_gold = G.spectrum(gc_a, max_count=64)
+        fit = WSp.spectrum_with_cutoff(cnt_a)
+        check("config4_hist",
+              np.array_equal(np.asarray(h_dev), np.asarray(h_gold))
+              and fit["cutoff"] >= 1)
+
+        # config 5: panel pulldown, incl. the sentinel-heavy probe regime
+        # (short + N-laden reads -> many invalid windows; round 2.2's
+        # corruption class) -- per-read hit vectors must match exactly
+        panel_src = [genome[:4000]]
+        panel_keys, _ = G.kmerize(k, panel_src)
+        samples = reads_b + ["".join(rng.choice(list("ACGTN"), size=40))
+                             for _ in range(200)]  # short, N-heavy tail
+        fs = os.path.join(d, "s.fastq")
+        with open(fs, "w") as f:
+            for i, r in enumerate(samples):
+                f.write(f"@s{i}\n{r}\n+\n{'I' * len(r)}\n")
+        (tot, rwh, per) = WP.pulldown_paths(panel_keys, [fs], k,
+                                            batch_reads=256,
+                                            max_len=128)[0]
+        want = G.scan_panel(k, panel_keys, samples)
+        check("config5_scan",
+              np.array_equal(np.asarray(per, np.int64), want)
+              and tot == int(want.sum()) and rwh == int((want > 0).sum()),
+              f"{tot} hits / {rwh} reads")
+
+    # sharded step with the receive tree + fused dedup on ONE chip
+    # (force_second_round): gated-off AND taken overflow rounds
+    from zotpu.kernels.dispatch import use_pallas
+    if use_pallas():
+        from zotpu.dist import mesh as M
+        from zotpu.dist import shuffle
+        from zotpu.io import wire
+        from zotpu.kernels.sortdedup import compact_sorted
+
+        codes = np.stack([G.encode(r) for r in reads_a])
+        lengths = np.full(len(reads_a), 128, np.int32)
+        pw, mw = wire.pack_codes(codes)
+        mesh = M.make_mesh(1)
+        for label, cf in (("gated", 1.05), ("taken", 0.8)):
+            step, _ = shuffle.make_kmerize_step(
+                mesh, k, len(reads_a), 128, capacity_factor=cf,
+                compact=False, wire=True, force_second_round=True)
+            uhi, ulo, counts, n, ovf, _ = step(pw, mw, lengths)
+            okd = int(np.asarray(ovf).sum()) == 0
+            uhi, ulo, counts = (np.asarray(x) for x in compact_sorted(
+                np.asarray(uhi).reshape(-1), np.asarray(ulo).reshape(-1),
+                np.asarray(counts).reshape(-1)))
+            nn = int(np.asarray(n)[0])
+            got = S.join_hi_lo(uhi[:nn], ulo[:nn])
+            okd &= (np.array_equal(got, gk_a)
+                    and np.array_equal(counts[:nn].astype(np.uint32), gc_a))
+            check(f"sharded_fused_dedup_{label}", okd)
+    else:
+        verbose_print(json.dumps({
+            "check": "sharded_fused_dedup", "skipped":
+            "CPU backend (interpret-mode coverage lives in the test suite)"}))
+
+    n_fail = sum(1 for _, ok, _ in checks if not ok)
+    verbose_print(json.dumps({
+        "command": "selftest", "device": str(jax.devices()[0]),
+        "checks": len(checks), "failed": n_fail,
+        "seconds": round(time.perf_counter() - t_start, 2),
+        "ok": n_fail == 0}))
+    return 0 if n_fail == 0 else 1

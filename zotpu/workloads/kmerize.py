@@ -94,29 +94,64 @@ class Interrupted(RuntimeError):
     """Raised by the fault-injection hook to simulate a mid-run crash."""
 
 
-def _iter_batches(paths, batch_reads, max_len, k, stats, wire_pack=False):
+def _iter_batches(paths, batch_reads, max_len, k, stats, wire_pack=False,
+                  parallel=False):
     """Shared prefetched batch stream; updates stats per batch.
 
     stats.reads counts input RECORDS, not rows: halo-chunked overlong records
     span several rows (and possibly batches), deduplicated via record_ids.
     wire_pack=True attaches the 2-bit H2D wire form (io/wire.py) to each
-    batch, computed in the prefetch thread so it overlaps device compute."""
-    from zotpu.io.prefetch import prefetch
+    batch, computed in the prefetch thread so it overlaps device compute.
+
+    parallel=True (multi-file runs only): files parse in a small worker
+    pool (io/prefetch.prefetch_many; ZOTPU_PARSE_WORKERS overrides the
+    size), so gzip inflation runs for several files at once (SURVEY.md
+    section 7 "host input pipeline"). Batches of different files then
+    INTERLEAVE -- valid only for consumers whose output is insertion-order-
+    invariant (the device accumulator; callers pass parallel=False in spill
+    mode, whose numbered run files must be reproducible for resume)."""
+    from zotpu.io.prefetch import prefetch, prefetch_many
+
+    def parse_one(path):
+        for batch in fastq.parse_batches(path, batch_reads, max_len,
+                                         halo=k - 1):
+            if wire_pack:
+                from zotpu.io import wire
+                batch.wire = wire.pack_codes(batch.codes)
+            yield batch
+
+    if parallel and len(paths) > 1:
+        import functools as _ft
+        import os as _os
+        workers = int(_os.environ.get("ZOTPU_PARSE_WORKERS",
+                                      min(4, _os.cpu_count() or 1)))
+        last_ids: dict[int, int] = {}
+        for tag, batch in prefetch_many(
+                [_ft.partial(parse_one, p) for p in paths],
+                workers=workers, depth=2 * max(workers, 1)):
+            rids = batch.record_ids[:batch.n_reads]
+            n_rec = len(np.unique(rids))
+            last = last_ids.get(tag)
+            if n_rec and last is not None and rids[0] == last:
+                n_rec -= 1  # first record continues from previous batch
+            if len(rids):
+                last_ids[tag] = int(rids[-1])
+            stats.batches += 1
+            stats.reads += n_rec
+            stats.bases += batch.bases
+            yield batch
+        return
 
     def all_batches():
         for path in paths:
             last_id = None
-            for batch in fastq.parse_batches(path, batch_reads, max_len,
-                                             halo=k - 1):
+            for batch in parse_one(path):
                 rids = batch.record_ids[:batch.n_reads]
                 n_rec = len(np.unique(rids))
                 if n_rec and last_id is not None and rids[0] == last_id:
                     n_rec -= 1  # first record continues from previous batch
                 if len(rids):
                     last_id = int(rids[-1])
-                if wire_pack:
-                    from zotpu.io import wire
-                    batch.wire = wire.pack_codes(batch.codes)
                 yield batch, n_rec
 
     for batch, n_rec in prefetch(all_batches(), depth=2):
@@ -179,7 +214,7 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
     # device compute and host merging of the previous batch.
     wire_pack = max_len % 32 == 0  # wire form needs 32|L (striped u32 words)
     for batch in _iter_batches(paths, batch_reads, max_len, k, stats,
-                               wire_pack=wire_pack):
+                               wire_pack=wire_pack, parallel=use_acc):
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
@@ -249,7 +284,7 @@ class _GlobalBatch:
 
 
 def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats,
-                         wire_pack=False):
+                         wire_pack=False, parallel=False):
     """Batch stream for the sharded step.
 
     Single controller: plain numpy batches (XLA shards them on dispatch).
@@ -262,7 +297,7 @@ def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats,
     wire_pack ships batches in the 0.375 B/base wire form (io/wire.py)."""
     if jax.process_count() == 1:
         yield from _iter_batches(paths, rtot, max_len, k, stats,
-                                 wire_pack=wire_pack)
+                                 wire_pack=wire_pack, parallel=parallel)
         return
     from jax.experimental import multihost_utils as mh
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -275,7 +310,7 @@ def _iter_global_batches(paths, mesh, reads_per_chip, rtot, max_len, k, stats,
     sh2 = NamedSharding(mesh, P(AXIS, None))
     sh1 = NamedSharding(mesh, P(AXIS))
     it = iter(_iter_batches(paths, local_rows, max_len, k, stats,
-                            wire_pack=wire_pack))
+                            wire_pack=wire_pack, parallel=parallel))
     while True:
         batch = next(it, None)
         has_more = mh.process_allgather(np.asarray([batch is not None]))
@@ -319,6 +354,12 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     With ``spill_dir`` each batch's globally-merged run is written as a ZKF
     checkpoint instead (per-batch transfers by design, same contract as the
     single-chip spill path); ``resume=True`` re-reads completed runs.
+    Under multi-controller each host spills ITS addressable shards' rows to
+    ``run{batch}.p{process_id}.zkf`` (no cross-host bytes; VERDICT round 2
+    item 5) and a batch resumes from spills only when EVERY host still has
+    its file (steps are collective, so the skip/recompute decision must be
+    unanimous -- a host that lost its spill forces the batch to recompute
+    everywhere, which simply overwrites the surviving hosts' files).
     Routing-bucket overflow detection is DEFERRED to the end in accumulator
     mode (a device-side counter; no per-batch sync) and immediate in spill
     mode. Correctness is identical to the single-chip path by the
@@ -340,8 +381,6 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
         raise ValueError(
             f"multi-host runs must shard over every device: --shards "
             f"{n_shards} != {n_dev} global devices")
-    if multi and spill_dir is not None:
-        raise ValueError("--spill-dir/--resume are single-controller only")
     mesh = M.make_mesh(n_shards)
     reads_per_chip = max(batch_reads // n_shards, 1)
     rtot = reads_per_chip * n_shards
@@ -357,15 +396,25 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     batch_no = 0
     for batch in _iter_global_batches(paths, mesh, reads_per_chip, rtot,
                                       max_len, k, stats,
-                                      wire_pack=wire_pack):
+                                      wire_pack=wire_pack, parallel=use_acc):
         batch_no += 1
-        run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
+        run_name = (f"run{batch_no:06d}.p{jax.process_index()}.zkf" if multi
+                    else f"run{batch_no:06d}.zkf")
+        run_path = (os.path.join(spill_dir, run_name)
                     if spill_dir is not None else None)
-        if resume and run_path and os.path.exists(run_path):
-            ks = container.read(run_path)
-            stats.kmers += int(ks.counts.sum(dtype=np.uint64))
-            runs.append((ks.keys, ks.counts))
-            continue
+        if resume and run_path:
+            have = os.path.exists(run_path)
+            if multi:
+                # unanimous skip only: steps are collective, so one host
+                # missing its spill forces the batch everywhere
+                from jax.experimental import multihost_utils as mh
+                have = bool(mh.process_allgather(
+                    np.asarray([have])).all())
+            if have:
+                ks = container.read(run_path)
+                stats.kmers += int(ks.counts.sum(dtype=np.uint64))
+                runs.append((ks.keys, ks.counts))
+                continue
         if fail_after_batches is not None and batch_no > fail_after_batches:
             raise Interrupted(f"injected failure before batch {batch_no}")
         if wire_pack:
@@ -385,15 +434,28 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                               else route_overflow + overflow)
             routed_tot = routed if routed_tot is None else routed_tot + routed
             continue
-        if int(np.asarray(overflow).sum()) > 0:
+        if multi:
+            from jax.experimental import multihost_utils as mh
+            ovl = sum(int(np.asarray(s.data).sum())
+                      for s in overflow.addressable_shards)
+            ovf_now = int(mh.process_allgather(np.asarray([ovl])).sum())
+        else:
+            ovf_now = int(np.asarray(overflow).sum())
+        if ovf_now > 0:
             raise ValueError(
                 "all-to-all bucket overflow: raise capacity_factor")
-        keys, cnts = shuffle.gather_global(
-            np.asarray(uhi).reshape(n_shards, -1),
-            np.asarray(ulo).reshape(n_shards, -1),
-            np.asarray(counts).reshape(n_shards, -1),
-            np.asarray(n_unique), reorder=shard_hash == "mixed")
-        stats.kmers += int(cnts.sum(dtype=np.uint64))
+        if multi:
+            # spill THIS host's shard rows only (sorted: a host's devices
+            # own ascending key-prefix ranges; mixed reorders at the end)
+            keys, cnts = shuffle.gather_local_rows(
+                uhi, ulo, counts, n_unique, reorder=shard_hash == "mixed")
+        else:
+            keys, cnts = shuffle.gather_global(
+                np.asarray(uhi).reshape(n_shards, -1),
+                np.asarray(ulo).reshape(n_shards, -1),
+                np.asarray(counts).reshape(n_shards, -1),
+                np.asarray(n_unique), reorder=shard_hash == "mixed")
+            stats.kmers += int(cnts.sum(dtype=np.uint64))
         if run_path is not None:
             container.write(run_path, container.KmerSet(
                 k=k, keys=keys, counts=cnts, meta={"run": batch_no}))
@@ -424,7 +486,13 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                 routed = np.asarray(routed_tot)
             stats.routed_per_shard = [int(x) for x in routed]
     else:
-        keys, counts = merge_runs(runs)
+        # multi: merge THIS host's runs on the host (local data, zero
+        # collective risk), then allgather the disjoint host sets
+        keys, counts = merge_runs(runs, force_host=multi)
+        if multi:
+            keys, counts = shuffle.allgather_host_sets(
+                keys, counts, reorder=shard_hash == "mixed")
+            stats.kmers = int(counts.sum(dtype=np.uint64))
     if multi:
         # reads/bases were counted per host; sum across hosts
         from jax.experimental import multihost_utils as mh
