@@ -92,6 +92,23 @@ def main():
                      "the headline line carries that comparison)"),
             "vs_baseline": r["bases_per_s"] / 1e9,
         })
+    # Sustained single-chip rate: step + ALL LSM accumulator merging over 8
+    # batches (the step-only line excludes amortized merging; round 3's
+    # dense dedup + fused streaming level merges are what make these close)
+    _log("sustained...")
+    su = run_workload("sustained", f"r = harness.bench_sustained("
+                      f"total_bases={total_bases}, k={k})", tmo)
+    if su:
+        _emit({
+            "metric": "kmerize_sustained_bases_per_s_chip",
+            "value": su["bases_per_s"],
+            "unit": (f"bases/s/chip SUSTAINED over {su['batches']} batches "
+                     "incl. every LSM accumulator merge (dense dedup-compact "
+                     "step output + fused streaming level merges; transfers "
+                     "excluded)"),
+            "vs_baseline": su["bases_per_s"] / 1e9,
+        })
+
     # HEADLINE (the driver parses the LAST stdout line): BASELINE's kmerize
     # target is per HOST; a v5e host has 8 chips and this rig exposes 1.
     # The projection comes from the shard-model workload: every term is
@@ -232,6 +249,7 @@ def main():
     order = ["kmerize_sharded_second_round_overhead",
              "host_parse_gz_bases_per_s", "kmerize_e2e_bases_per_s",
              "scan_kmers_per_s", "setops_merge_gb_per_s",
+             "kmerize_sustained_bases_per_s_chip",
              "kmerize_bases_per_s_chip"]
     # unknown metrics print first (never crash at the very end and discard
     # every measured line -- ADVICE round 2)

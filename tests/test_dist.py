@@ -465,16 +465,14 @@ def test_mixed_embedded_receive_tree_interpret(rng):
 
 def test_merge_received_runs_fused_dedup_interpret(rng):
     """merge_received_runs(dedup=True): the final tree pass's in-kernel
-    dedup-mark epilogue == lax.sort + dedup_mark_sorted of the same buffer
-    (same unique (key, count) set and n; keeper ROW differs by design --
-    last-of-segment in-kernel vs first-of-segment in XLA -- which consumers
-    of the marked form are insensitive to)."""
+    DENSE dedup-compact epilogue == lax.sort + dedup_count_sorted of the
+    same buffer (unique keys packed to the front with segment counts)."""
     import jax
     import jax.numpy as jnp
 
     from zotpu.dist.shuffle import merge_received_runs
     from zotpu.kernels.sort_pallas import TILE_E
-    from zotpu.kernels.sortdedup import dedup_mark_sorted
+    from zotpu.kernels.sortdedup import dedup_count_sorted
 
     def sorted_run(n_valid, cap_r):
         # tiny key space -> many duplicate keys, within and across runs
@@ -495,26 +493,26 @@ def test_merge_received_runs_fused_dedup_interpret(rng):
                       for _ in range(D)]
         rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
         rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
-        uhi, ulo, cnt = merge_received_runs(rhi, rlo, D, cap, cap2,
-                                            interpret=True, dedup=True)
+        uhi, ulo, cnt, n = merge_received_runs(rhi, rlo, D, cap, cap2,
+                                               interpret=True, dedup=True)
         shi, slo = jax.lax.sort((rhi, rlo), num_keys=2)
-        whi, wlo, wcnt, wn = dedup_mark_sorted(shi, slo)
+        whi, wlo, wcnt, wn = dedup_count_sorted(shi, slo)
+        n, wn = int(np.asarray(n)), int(np.asarray(wn))
+        assert n == wn, (D, cap, cap2)
 
-        def marked_set(h, l, c):
+        def dense(h, l, c, m):
             h, l, c = (np.asarray(x) for x in (h, l, c))
-            keep = c != 0
-            keys = (h[keep].astype(np.uint64) << np.uint64(32)) | l[keep]
-            order = np.argsort(keys)
-            return keys[order], c[keep][order]
+            return ((h[:m].astype(np.uint64) << np.uint64(32)) | l[:m],
+                    c[:m])
 
-        gk, gc = marked_set(uhi, ulo, cnt)
-        wk, wc = marked_set(whi, wlo, wcnt)
+        gk, gc = dense(uhi, ulo, cnt, n)
+        wk, wc = dense(whi, wlo, wcnt, wn)
         assert np.array_equal(gk, wk), (D, cap, cap2)
         assert np.array_equal(gc, wc), (D, cap, cap2)
-        assert len(gk) == int(wn)
-        # marked rows are sentinel keys with zero counts
+        # sentinel keys / zero counts beyond the dense prefix
         g = np.asarray(uhi).astype(np.uint64) << np.uint64(32) | np.asarray(ulo)
-        assert np.all(g[np.asarray(cnt) == 0] == np.uint64(0xFFFFFFFFFFFFFFFF))
+        assert np.all(g[n:] == np.uint64(0xFFFFFFFFFFFFFFFF))
+        assert np.all(np.asarray(cnt)[n:] == 0)
 
 
 @pytest.mark.slow
@@ -522,30 +520,28 @@ def test_sharded_step_fused_dedup_interpret(mesh8):
     """The FULL sharded step with the tree + fused dedup-mark (the TPU-only
     body path, forced on CPU via interpret=True): marked output absorbs to
     the same global set as golden, routed comes from the senders' landed
-    counts, and the compacted-step output matches byte-for-byte."""
-    import jax
-
-    from zotpu.kernels.sortdedup import compact_sorted
-
+    counts, and the dense-step output matches byte-for-byte."""
     k = 17
     D = 8
     reads_per_chip, read_len = 8, 70
     rng = np.random.default_rng(29)
     seqs, codes, lengths = make_batch(rng, D * reads_per_chip, read_len,
                                       min_len=read_len)
-    step, _ = shuffle.make_kmerize_step(mesh8, k, reads_per_chip, read_len,
-                                        capacity_factor=6.0, compact=False,
-                                        interpret=True)
+    step, cap_out = shuffle.make_kmerize_step(mesh8, k, reads_per_chip,
+                                              read_len, capacity_factor=6.0,
+                                              compact=False, interpret=True)
     uhi, ulo, counts, n_unique, overflow, routed = step(codes, lengths)
     assert np.all(np.asarray(overflow) == 0)
     uhi = np.asarray(uhi).reshape(D, -1)
     ulo = np.asarray(ulo).reshape(D, -1)
     counts = np.asarray(counts).reshape(D, -1)
-    # n_unique from the fused path == per-shard count of kept rows
+    # the fused path emits DENSE per-shard runs: n_unique counts the packed
+    # prefix, sentinel/0 beyond
     assert np.array_equal(np.asarray(n_unique),
                           (counts != 0).sum(axis=1).astype(np.int32))
-    uhi, ulo, counts = (np.asarray(x) for x in jax.vmap(
-        compact_sorted)(uhi, ulo, counts))
+    for d in range(D):
+        nd = int(np.asarray(n_unique)[d])
+        assert np.all(uhi[d, nd:] == np.uint32(0xFFFFFFFF))
     keys, cnts = shuffle.gather_global(uhi, ulo, counts, np.asarray(n_unique))
     want_k, want_c = G.kmerize(k, seqs)
     assert np.array_equal(keys, want_k)

@@ -132,7 +132,7 @@ def test_bench_cli_small(capsys):
     names = {r["workload"] for r in recs}
     assert {"kmerize", "setops_merge", "kmerize_scaling",
             "kmerize_shard_model", "kmerize_shard_sensitivity",
-            "host_parse_gz", "kmerize_e2e"} <= names
+            "kmerize_sustained", "host_parse_gz", "kmerize_e2e"} <= names
     sens = next(r for r in recs
                 if r["workload"] == "kmerize_shard_sensitivity")
     assert sens["second_round_overhead"] > 0

@@ -874,7 +874,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--workload", default="kmerize",
                     choices=["kmerize", "setops", "setops-sort", "scan",
                              "scaling", "shard-model", "shard-sensitivity",
-                             "parse", "e2e", "all"])
+                             "sustained", "parse", "e2e", "all"])
     sp.add_argument("--bases", type=int, default=1 << 26)
     sp.add_argument("--k", type=int, default=25)
     sp.add_argument("--repeats", type=int, default=3)

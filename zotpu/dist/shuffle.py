@@ -245,15 +245,19 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
     before this call); NOT for the separate-mix-channel fallback, whose
     buckets are mix-ordered.
 
-    ``dedup=True`` fuses the dedup-mark epilogue into the tree's FINAL pass
-    (kernels/sort_pallas.stream_merge_{pass,pair}_dedup_pallas) and returns
-    (uhi, ulo, counts) in the sentinel-marked form of
-    kernels/sortdedup.dedup_mark_sorted -- the separate ~9 ms XLA dedup pass
-    over the merged array disappears from the per-batch chip step
-    (VERDICT round 2 item 1). Keeper rows are each segment's LAST element
-    (extent known when it streams past); consumers of the marked form
-    re-sort anyway, so the output set is byte-identical.
+    ``dedup=True`` fuses a DENSE dedup-compact epilogue into the tree's
+    FINAL pass (kernels/dedup_pallas.merged_dedup_compact_{pass,pair}) and
+    returns (uhi, ulo, counts, n_unique) with the unique keys packed to the
+    front -- both the separate XLA dedup pass AND the sort the level-0
+    accumulator merge needed for marked runs disappear (round 3: dense runs
+    flow through the streaming fused merge kernel at every LSM level; the
+    marked form's interspersed sentinels made runs unsorted, forcing
+    4-operand set_op re-sorts that dominated sustained per-batch cost --
+    measured 450 ms/batch vs the 152 ms step, docs/PERF_NOTES.md). Output
+    arrays are kernels/dedup_pallas.dedup_out_cap(n_shards*(cap+cap2))
+    long (input + append slack).
     """
+    from zotpu.kernels import dedup_pallas as DP
     from zotpu.kernels import sort_pallas as SP
 
     h1, l1 = rhi[:n_shards * cap], rlo[:n_shards * cap]
@@ -262,13 +266,13 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
         # one run, nothing to merge (D=1 with the forced second round gated
         # off): the dedup epilogue still has to run -- a pair pass against
         # an EMPTY B side is the identity merge + epilogue
-        return SP.stream_merge_pair_dedup_pallas(h1, l1, nA=cap,
-                                                 interpret=interpret)
+        return DP.merged_dedup_compact_pair(h1, l1, nA=cap,
+                                            interpret=interpret)
     while run < n_shards * cap:
         final = dedup and cap2 == 0 and run * 2 >= n_shards * cap
         if final:
-            return SP.stream_merge_pass_dedup_pallas(h1, l1, run,
-                                                     interpret=interpret)
+            return DP.merged_dedup_compact_pass(h1, l1, run,
+                                                interpret=interpret)
         h1, l1, _ = SP.stream_merge_pass_pallas(h1, l1, None, run,
                                                 interpret=interpret)
         run *= 2
@@ -283,11 +287,26 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
     h = jnp.concatenate([h1, h2])
     l = jnp.concatenate([l1, l2])
     if dedup:
-        return SP.stream_merge_pair_dedup_pallas(h, l, nA=n_shards * cap,
-                                                 interpret=interpret)
+        return DP.merged_dedup_compact_pair(h, l, nA=n_shards * cap,
+                                            interpret=interpret)
     h, l, _ = SP.stream_merge_pair_pallas(h, l, None, nA=n_shards * cap,
                                           interpret=interpret)
     return h, l
+
+
+def step_emits_dense(k: int, n_shards: int, shard_hash: str = "prefix",
+                     interpret: bool = False,
+                     force_second_round: bool = False) -> bool:
+    """True when make_kmerize_step (same flags) takes the tree + fused
+    DENSE dedup path, i.e. its per-shard runs are dense unique prefixes --
+    the accumulator can then use the streaming fused merge at every level
+    instead of a re-sort. Must mirror make_kmerize_step's use_tree logic."""
+    from zotpu.kernels.dispatch import use_pallas
+    tree_order_ok = (shard_hash == "prefix"
+                     or _embed_bits(k, shard_bits(n_shards)) is not None)
+    return (tree_order_ok and (n_shards > 1 or force_second_round)
+            and (n_shards & (n_shards - 1)) == 0
+            and (use_pallas() or interpret))
 
 
 def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
@@ -338,8 +357,6 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     valid k-mer set.
     """
     S.check_k(k)
-    from zotpu.kernels.dispatch import use_pallas
-
     D = mesh.devices.size
     m_local = reads_per_chip * (read_len - k + 1)
     cap = int(np.ceil(m_local * capacity_factor / D))
@@ -353,20 +370,24 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     # them (merge_received_runs) instead of a full lax.sort. The streaming
     # kernel needs TILE_E-aligned runs and a power-of-two D; round
     # capacities up (capacity only moves the overflow threshold -- output
-    # bytes are capacity-invariant, tested).
-    p_pre = shard_bits(D)
-    tree_order_ok = (shard_hash == "prefix"
-                     or _embed_bits(k, p_pre) is not None)
-    # interpret=True (tests) forces the tree path on CPU through the Pallas
-    # interpreter, so the TPU-only fused-dedup body compiles and runs in CI
-    use_tree = (tree_order_ok and (D > 1 or force_second_round)
-                and (D & (D - 1)) == 0 and (use_pallas() or interpret))
+    # bytes are capacity-invariant, tested). interpret=True (tests) forces
+    # the tree path on CPU through the Pallas interpreter, so the TPU-only
+    # fused-dedup body compiles and runs in CI.
+    use_tree = step_emits_dense(k, D, shard_hash, interpret,
+                                force_second_round)
     if use_tree:
         from zotpu.kernels.sort_pallas import TILE_E
         cap = -(-cap // TILE_E) * TILE_E
         if cap2:
             cap2 = -(-cap2 // TILE_E) * TILE_E
-    cap_out = D * (cap + cap2)
+    # the tree's final pass fuses a DENSE dedup-compact epilogue (round 3);
+    # its output carries append-slack rows beyond the input length
+    fuse_dedup = use_tree and not _bench_no_dedup
+    if fuse_dedup:
+        from zotpu.kernels.dedup_pallas import dedup_out_cap
+        cap_out = dedup_out_cap(D * (cap + cap2))
+    else:
+        cap_out = D * (cap + cap2)
 
     if wire and read_len % 32:
         raise ValueError(f"wire form needs 32 | read_len, got {read_len}")
@@ -390,17 +411,18 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
         # per-shard received volume from the senders' O(D) landed counts --
         # the old full compare+sum over the received buffer is off the step
         routed = jax.lax.psum(landed, AXIS)[jax.lax.axis_index(AXIS)]
-        # The tree's final pass fuses the dedup-mark epilogue when the
-        # consumer takes the marked form (the sharded accumulator): the
-        # merged array never round-trips HBM for a separate XLA dedup pass
-        # (VERDICT round 2 item 1).
-        fuse_dedup = use_tree and not compact and not _bench_no_dedup
+        # The tree's final pass fuses the DENSE dedup-compact epilogue
+        # (round 3): the merged array never round-trips HBM for a separate
+        # XLA dedup pass, and the dense run lets every accumulator LSM
+        # level use the streaming fused merge kernel instead of a re-sort.
+        done = False
         if D == 1 and cap2 == 0:
             pass         # one bucket run = the sender's sorted array, as-is
         elif use_tree and cap2 == 0:
             if fuse_dedup:
-                uhi, ulo, counts = merge_received_runs(
+                uhi, ulo, counts, n = merge_received_runs(
                     rhi, rlo, D, cap, 0, dedup=True, interpret=interpret)
+                done = True
             else:
                 rhi, rlo = merge_received_runs(rhi, rlo, D, cap, 0,
                                                interpret=interpret)
@@ -415,16 +437,20 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
                                                interpret=interpret)
 
                 def tree_first(_):
-                    u1, l1, c1 = merge_received_runs(
+                    u1, l1, c1, n1 = merge_received_runs(
                         rhi[:D * cap], rlo[:D * cap], D, cap, 0, dedup=True,
                         interpret=interpret)
-                    return (jnp.concatenate([u1, rhi[D * cap:]]),
-                            jnp.concatenate([l1, rlo[D * cap:]]),
+                    # dense + sentinel tail is still dense; lengths match
+                    # tree_full's (the append slack is a constant)
+                    sent_t = jnp.full(D * cap2, SENT32, jnp.uint32)
+                    return (jnp.concatenate([u1, sent_t]),
+                            jnp.concatenate([l1, sent_t]),
                             jnp.concatenate(
-                                [c1, jnp.zeros(D * cap2, jnp.uint32)]))
+                                [c1, jnp.zeros(D * cap2, jnp.uint32)]), n1)
 
-                uhi, ulo, counts = jax.lax.cond(need2, tree_full, tree_first,
-                                                operand=None)
+                uhi, ulo, counts, n = jax.lax.cond(need2, tree_full,
+                                                   tree_first, operand=None)
+                done = True
             else:
                 def tree_full(_):
                     return merge_received_runs(rhi, rlo, D, cap, cap2,
@@ -441,8 +467,9 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
                                         operand=None)
         else:
             rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
-        if fuse_dedup and not (D == 1 and cap2 == 0):
-            n = jnp.sum((counts != 0).astype(jnp.int32))
+        if done:
+            pass                      # dense (uhi, ulo, counts, n) from the
+            #                           tree's fused dedup-compact pass
         elif _bench_no_dedup:
             valid_r = ~((rhi == SENT32) & (rlo == SENT32))
             uhi, ulo = rhi, rlo

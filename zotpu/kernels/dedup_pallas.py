@@ -1,0 +1,392 @@
+"""Dense dedup-compact streaming kernels: sorted-with-duplicates -> unique.
+
+Reference analog: zotmer kmerize's dedup -> (kmer, count) step (SURVEY.md
+section 3.1), emitted DENSE.
+
+Why this exists (round 3): the accumulator's level-0 merges were the hidden
+dominant per-batch device cost. Per-batch runs came out of the step
+sentinel-MARKED (duplicates blanked in place -- round 2's trick to skip the
+compaction re-sort), but marked arrays are NOT sorted (interspersed
+sentinels), so every level-0 LSM merge had to re-sort 2x the padded batch
+capacity with the 4-operand ``setops.set_op`` (~200 ms amortized per batch
+at 16M keys -- the measured 450 ms/batch steady state vs the 152 ms step,
+docs/PERF_NOTES.md round 1). A DENSE unique run instead flows through the
+streaming fused merge kernel (kernels/merge_fused.py, 8.4 GB/s) at every
+level.
+
+Dedup here is a single VPU-cheap pass (no merge network): per tile of the
+sorted stream,
+
+- segment firsts come from a one-element backward roll (SMEM carry across
+  tiles), segment lasts from a one-element forward roll whose tile-final
+  element compares against the NEXT tile's first key (a scalar-prefetch row
+  computed on the XLA side -- for a single input it is just
+  ``key[(t+1)*TILE]``);
+- the keeper is each segment's LAST element with count = pos - seg_start + 1
+  (seg_start latches forward: flat cummax + SMEM carry, the join's pattern);
+- keepers butterfly-pack to the tile front (kernels/merge_fused._butterfly_pack)
+  and append at a running SMEM element cursor with garbage-overwrite window
+  DMA + a carried partial row -- merge_fused's proven append machinery, so
+  the output is dense with a sentinel tail and NO XLA post-pass.
+
+``stream_merge_pass_dedup_pallas`` / ``stream_merge_pair_dedup_pallas`` in
+kernels/sort_pallas.py are the sentinel-MARKED variants fused into a merge
+pass (the sharded receive tree's final level); this module's
+``merged_dedup_compact_*`` are their DENSE-output twins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zotpu.kernels.merge_fused import OUT_R, _butterfly_pack
+from zotpu.kernels.sort_pallas import (LANES, LOAD_R, TILE_E, TILE_R,
+                                       _extract_u32, _flat_cummax_i32,
+                                       _merge_partition, _merged_tile,
+                                       _next_tile_first_keys, _pad_chan,
+                                       _pair_scalars)
+
+SENT = 0xFFFFFFFF
+
+
+def _row_lane(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row, lane
+
+
+def _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi, nxt_lo):
+    """Shared epilogue: (keep, cnt) for a (TILE_R, LANES) tile of the
+    sorted stream, with SMEM carries ckey (prev element key) and cstart
+    (open segment's start position). Keeper = segment LAST; count =
+    extent. Callers init ckey=(SENT, 0) and cstart=0 at t == 0."""
+    S32 = jnp.uint32(SENT)
+    row, lane = _row_lane(hi_o.shape)
+    pos = t * TILE_E + row * LANES + lane
+
+    def prev_elem(v, fill0):
+        a = pltpu.roll(v, shift=1, axis=1)
+        b = pltpu.roll(a, shift=1, axis=0)
+        p = jnp.where(lane == 0, b, a)
+        return jnp.where((row == 0) & (lane == 0), fill0, p)
+
+    def next_elem(v, fill_last):
+        a = pltpu.roll(v, shift=LANES - 1, axis=1)
+        b = pltpu.roll(a, shift=TILE_R - 1, axis=0)
+        p = jnp.where(lane == LANES - 1, b, a)
+        return jnp.where((row == TILE_R - 1) & (lane == LANES - 1),
+                         fill_last, p)
+
+    phi_ = prev_elem(hi_o, ckey[0])
+    plo_ = prev_elem(lo_o, ckey[1])
+    first = (hi_o != phi_) | (lo_o != plo_)
+    seg0 = jnp.maximum(_flat_cummax_i32(jnp.where(first, pos, -1)),
+                       cstart[0])
+    nhi_ = next_elem(hi_o, nxt_hi)
+    nlo_ = next_elem(lo_o, nxt_lo)
+    last = (hi_o != nhi_) | (lo_o != nlo_)
+    valid = ~((hi_o == S32) & (lo_o == S32))
+    keep = last & valid
+    cnt = (pos - seg0 + 1).astype(jnp.uint32)
+
+    lastm = (row == TILE_R - 1) & (lane == LANES - 1)
+    ckey[0] = _extract_u32(lastm, hi_o)
+    ckey[1] = _extract_u32(lastm, lo_o)
+    cstart[0] = jnp.max(seg0)
+    return keep, cnt
+
+
+def _append_packed(t, is_flush, chans, keep, outs, obuf, pend_buf, osem, st):
+    """Butterfly-pack keepers and append at the running element cursor
+    (merge_fused's append, without its deferred-element overlay).
+
+    chans = (hi, lo, cnt) register tiles; st SMEM (4,) i32 =
+    [cursor_row, pend, total_out, unused]. The flush step (candidates all
+    masked) writes the carried partial row and n_out."""
+    S32 = jnp.uint32(SENT)
+    packed = _butterfly_pack(chans, keep)
+    m = jnp.sum(keep.astype(jnp.int32))
+
+    pend = st[1]
+    fills = (S32, S32, jnp.uint32(0))
+    ext = tuple(jnp.full((1, LANES), f, jnp.uint32) for f in fills)
+    buf = tuple(jnp.concatenate([c, e], axis=0)
+                for c, e in zip(packed, ext))
+    # rotate right by pend so the packed run starts after the carried row
+    from zotpu.kernels.merge_fused import _rot_right_dyn
+    buf = _rot_right_dyn(buf, pend)
+    row, lane = _row_lane(buf[0].shape)
+    opos = row * LANES + lane
+    in_pend = opos < pend
+    total = pend + m
+    garbage = opos >= total
+    o = []
+    for ch in range(3):
+        p_row = pend_buf[ch, 0:1, :]
+        o.append(jnp.where(garbage, fills[ch],
+                           jnp.where(in_pend, p_row, buf[ch])))
+
+    cur = st[0]
+
+    @pl.when(t > 0)
+    def _wait_prev_store():
+        for ch in range(3):
+            pltpu.make_async_copy(
+                obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
+                osem.at[ch]).wait()
+
+    for ch in range(3):
+        obuf[ch] = o[ch]
+
+    full = total // LANES
+    new_pend = jax.lax.rem(total, LANES)
+    for ch in range(3):
+        pend_buf[ch, 0:1, :] = obuf[ch, pl.ds(full, 1), :]
+    for ch in range(3):
+        pltpu.make_async_copy(
+            obuf.at[ch], outs[ch].at[pl.ds(cur, OUT_R), :],
+            osem.at[ch]).start()
+    st[0] = cur + full
+    st[1] = new_pend
+    st[2] = st[2] + m
+
+
+def _make_dedup_compact_kernel(ntiles: int):
+    """Single sorted input (BlockSpec tiles) -> dense unique + counts."""
+
+    def kernel(scal, hi_blk, lo_blk, pre_hi, pre_lo, pre_c,
+               out_hi, out_lo, out_c, n_out,
+               obuf, pend_buf, osem, ckey, cstart, st):
+        del pre_hi, pre_lo, pre_c          # aliased sentinel prefill
+        t = pl.program_id(0)
+        S32 = jnp.uint32(SENT)
+        outs = (out_hi, out_lo, out_c)
+
+        @pl.when(t == 0)
+        def _init():
+            ckey[0] = S32
+            ckey[1] = jnp.uint32(0)
+            cstart[0] = jnp.int32(0)
+            st[0] = 0
+            st[1] = 0
+            st[2] = 0
+
+        is_flush = t == ntiles
+        hi_o = jnp.where(is_flush, S32, hi_blk[:])
+        lo_o = jnp.where(is_flush, S32, lo_blk[:])
+        nxt_hi = scal[0, t].astype(jnp.uint32)
+        nxt_lo = scal[1, t].astype(jnp.uint32)
+        keep, cnt = _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi,
+                                 nxt_lo)
+        _append_packed(t, is_flush, (hi_o, lo_o, cnt), keep, outs, obuf,
+                       pend_buf, osem, st)
+
+        @pl.when(is_flush)
+        def _finish():
+            for ch in range(3):
+                pltpu.make_async_copy(
+                    obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
+                    osem.at[ch]).wait()
+            n_out[0] = st[2]
+
+    return kernel
+
+
+def dedup_out_cap(n: int) -> int:
+    """Output capacity (elements) of the dense dedup kernels for an
+    n-element input (n a TILE_E multiple): n + append slack rows."""
+    return n + (OUT_R + 8) * LANES
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dedup_compact_pallas(hi, lo, interpret: bool = False):
+    """Sorted (hi, lo) with duplicates + sentinel padding (len a TILE_E
+    multiple) -> DENSE (uhi, ulo, counts, n_unique): unique keys up front
+    with segment counts, sentinel/0 beyond. One streaming pass, no sort.
+
+    Byte-compatible with kernels/sortdedup.dedup_count_sorted, which costs
+    a full-width stable compaction sort; this is the TPU dispatch for it."""
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    # scal row t = first key of tile t+1 (the tile-final lookahead)
+    starts = jnp.minimum((jnp.arange(ntiles + 1, dtype=jnp.int32) + 1)
+                         * TILE_E, n - 1)
+    nxt_hi = jnp.where(jnp.arange(ntiles + 1) < ntiles - 1, hi[starts],
+                       jnp.uint32(SENT))
+    nxt_lo = jnp.where(jnp.arange(ntiles + 1) < ntiles - 1, lo[starts],
+                       jnp.uint32(SENT))
+    scal = jnp.stack([jax.lax.bitcast_convert_type(nxt_hi, jnp.int32),
+                      jax.lax.bitcast_convert_type(nxt_lo, jnp.int32)])
+
+    cap_rows = n // LANES + OUT_R + 8
+    prefill_k = jnp.full((cap_rows, LANES), jnp.uint32(SENT))
+    prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
+
+    ntc = ntiles  # captured for the clamped index map
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles + 1,),
+        in_specs=[pl.BlockSpec((TILE_R, LANES),
+                               lambda t, s: (jnp.minimum(t, ntc - 1), 0),
+                               memory_space=pltpu.VMEM)] * 2 +
+                 [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+                  [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
+            pltpu.VMEM((3, 8, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((2,), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+        ],
+    )
+    out_hi, out_lo, out_c, n_out = pl.pallas_call(
+        _make_dedup_compact_kernel(ntiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap_rows, LANES), jnp.uint32)] * 3 +
+                  [jax.ShapeDtypeStruct((1,), jnp.int32)],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(scal, hi.reshape(-1, LANES), lo.reshape(-1, LANES),
+      prefill_k, prefill_k, prefill_c)
+    return (out_hi.reshape(-1), out_lo.reshape(-1), out_c.reshape(-1),
+            n_out[0])
+
+
+# ---------------------------------------------------------------------------
+# DENSE twins of sort_pallas' marked fused-dedup merge passes: the sharded
+# receive tree's FINAL level merges two runs AND emits the dense unique set.
+# ---------------------------------------------------------------------------
+
+
+def _make_merged_dedup_kernel(ntiles: int):
+    nch = 2
+
+    def kernel(scal_ref, *refs):
+        ins = refs[:nch]
+        pre = refs[nch:nch + 3]
+        del pre                       # aliased sentinel prefill
+        outs = refs[nch + 3:nch + 6]
+        n_out = refs[nch + 6]
+        wins = refs[nch + 7:nch + 7 + 2 * nch]
+        sems = refs[nch + 7 + 2 * nch]
+        obuf, pend_buf, osem, ckey, cstart, st = refs[-6:]
+        t = pl.program_id(0)
+        S32 = jnp.uint32(SENT)
+
+        @pl.when(t == 0)
+        def _init():
+            ckey[0] = S32
+            ckey[1] = jnp.uint32(0)
+            cstart[0] = jnp.int32(0)
+            st[0] = 0
+            st[1] = 0
+            st[2] = 0
+
+        is_flush = t == ntiles
+        cand = _merged_tile(scal_ref, ins, wins, sems, nch, num_keys=2)
+        hi_o = jnp.where(is_flush, S32, cand[0][:TILE_R])
+        lo_o = jnp.where(is_flush, S32, cand[1][:TILE_R])
+        nxt_hi = scal_ref[6, t].astype(jnp.uint32)
+        nxt_lo = scal_ref[7, t].astype(jnp.uint32)
+        keep, cnt = _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi,
+                                 nxt_lo)
+        _append_packed(t, is_flush, (hi_o, lo_o, cnt), keep, outs, obuf,
+                       pend_buf, osem, st)
+
+        @pl.when(is_flush)
+        def _finish():
+            for ch in range(3):
+                pltpu.make_async_copy(
+                    obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
+                    osem.at[ch]).wait()
+            n_out[0] = st[2]
+
+    return kernel
+
+
+def _call_merged_dedup(scal, hi, lo, ntiles, interpret):
+    """scal must have ntiles+1 columns (the flush column clamps windows)."""
+    n = hi.shape[0]
+    chans = [_pad_chan(hi, jnp.uint32(SENT)),
+             _pad_chan(lo, jnp.uint32(SENT))]
+    cap_rows = n // LANES + OUT_R + 8
+    prefill_k = jnp.full((cap_rows, LANES), jnp.uint32(SENT))
+    prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+                  [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(4)
+        ] + [pltpu.SemaphoreType.DMA((4,)),
+             pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
+             pltpu.VMEM((3, 8, LANES), jnp.uint32),
+             pltpu.SemaphoreType.DMA((3,)),
+             pltpu.SMEM((2,), jnp.uint32),
+             pltpu.SMEM((1,), jnp.int32),
+             pltpu.SMEM((4,), jnp.int32)],
+    )
+    out_hi, out_lo, out_c, n_out = pl.pallas_call(
+        _make_merged_dedup_kernel(ntiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap_rows, LANES), jnp.uint32)] * 3 +
+                  [jax.ShapeDtypeStruct((1,), jnp.int32)],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(scal, *chans, prefill_k, prefill_k, prefill_c)
+    return (out_hi.reshape(-1), out_lo.reshape(-1), out_c.reshape(-1),
+            n_out[0])
+
+
+def _flush_col(scal):
+    """Append one safe column for the flush grid step: windows clamp to
+    row 0 with zero counts (masked to sentinel in-kernel anyway)."""
+    return jnp.concatenate([scal, jnp.zeros((scal.shape[0], 1), jnp.int32)],
+                           axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merged_dedup_compact_pass(hi, lo, run, interpret: bool = False):
+    """Equal-run streaming merge pass + DENSE dedup-compact epilogue
+    (the final level of a merge tree over 2 runs of traced length
+    ``run``). Returns dense (uhi, ulo, counts, n_unique)."""
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    a0 = _merge_partition(hi, lo, run, n)
+    t = jnp.arange(ntiles, dtype=jnp.int32)
+    pair = t // jnp.maximum(2 * run // TILE_E, 1)
+    base = pair * 2 * run
+    d = t * TILE_E - base
+    next_a0 = jnp.concatenate([a0[1:], jnp.zeros((1,), a0.dtype)])
+    next_pair = jnp.concatenate([pair[1:], jnp.full((1,), -1, pair.dtype)])
+    a1 = jnp.where(next_pair == pair, next_a0, jnp.minimum(run, d + TILE_E))
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    ga0 = base + a0
+    gb0 = base + run + b0
+    scal = jnp.stack([ga0 // LANES, gb0 // LANES, ga0 % LANES, gb0 % LANES,
+                      a1 - a0, b1 - b0]).astype(jnp.int32)
+    scal = _flush_col(_next_tile_first_keys(hi, lo, scal))
+    return _call_merged_dedup(scal, hi, lo, ntiles, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("nA", "interpret"))
+def merged_dedup_compact_pair(hi, lo, nA: int, interpret: bool = False):
+    """Unequal-pair streaming merge + DENSE dedup-compact epilogue
+    (A = [:nA], B = [nA:], both TILE_E multiples; nB may be 0 for a
+    single-run dedup through the same kernel)."""
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    scal = _flush_col(_next_tile_first_keys(hi, lo, _pair_scalars(hi, lo,
+                                                                  nA)))
+    return _call_merged_dedup(scal, hi, lo, ntiles, interpret)

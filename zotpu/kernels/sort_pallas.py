@@ -428,101 +428,20 @@ def _next_pow2(x: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Fused dedup-mark epilogue for the FINAL level of a merge tree (the sharded
-# kmerize receive side, dist/shuffle.merge_received_runs): instead of writing
-# the fully merged (hi, lo) stream and paying a separate XLA dedup-mark pass
-# (~9 ms of boundary scans + a reverse cummin at 31M -- docs/PERF_NOTES.md),
-# the last merge pass marks duplicates in-register as tiles stream through:
-#
-# - keeper = LAST of each equal-key segment (not first: the segment's extent
-#   is then fully known). Within a tile the next element comes from a roll;
-#   the tile's final element compares against the NEXT TILE'S FIRST OUTPUT
-#   key, which the XLA side precomputes into two extra scalar-prefetch rows
-#   (min of A[a0], B[b0] at the next tile's merge-path partition).
-# - count = pos - segment_start + 1, where segment_start is a forward latch
-#   (flat cummax of first-of-segment positions) seeded from an SMEM carry --
-#   the TPU grid is sequential, same pattern as the join's hit latch.
-#
-# Output identical to kernels/sortdedup.dedup_mark_sorted up to WHICH row of
-# a segment keeps the key (last here, first there): consumers of the marked
-# form re-sort anyway (the accumulator set_op), so row position within the
-# run is irrelevant; byte-equality of the final set is covered by the
-# shard-count invariance tests.
+# Support for the fused DENSE dedup-compact merge passes in
+# kernels/dedup_pallas.py (the sharded receive tree's final level): the
+# tile-final "last of segment" test there needs a ONE-element lookahead --
+# the NEXT tile's first output key -- which the XLA side precomputes into
+# two extra scalar-prefetch rows here. (A round-3 intermediate that fused a
+# sentinel-MARKED dedup epilogue into the merge pass lived here briefly; it
+# was superseded the same round by the dense variants, which also unlock
+# fused streaming merges at every accumulator LSM level.)
 # ---------------------------------------------------------------------------
 
 
-def _make_stream_dedup_kernel(nch=2):
-    """Equal-run / pair merge kernel with the dedup-mark epilogue.
-
-    Outputs 3 channels: (uhi, ulo, counts) -- duplicates sentinel-marked in
-    place with count 0; each segment's LAST row keeps the key and carries the
-    segment extent."""
-    assert nch == 2
-
-    def kernel(scal_ref, *refs):
-        ins = refs[:nch]
-        outs = refs[nch:nch + 3]          # uhi, ulo, counts
-        wins = refs[nch + 3:nch + 3 + 2 * nch]
-        sems = refs[nch + 3 + 2 * nch]
-        ckey = refs[-2]                   # SMEM (2,) u32: prev element's key
-        cstart = refs[-1]                 # SMEM (1,) i32: open segment start
-        t = pl.program_id(0)
-        SENT = jnp.uint32(0xFFFFFFFF)
-
-        @pl.when(t == 0)
-        def _init():
-            # differs from every real key (hi < 2^31) and from the sentinel
-            # (lo != SENT), so element 0 always opens a segment
-            ckey[0] = SENT
-            ckey[1] = jnp.uint32(0)
-            cstart[0] = jnp.int32(0)
-
-        cand = _merged_tile(scal_ref, ins, wins, sems, nch, num_keys=2)
-        hi_o = cand[0][:TILE_R]
-        lo_o = cand[1][:TILE_R]
-        row = jax.lax.broadcasted_iota(jnp.int32, hi_o.shape, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, hi_o.shape, 1)
-        pos = t * TILE_E + row * LANES + lane
-
-        def prev_elem(v, fill0):
-            a = pltpu.roll(v, shift=1, axis=1)
-            b = pltpu.roll(a, shift=1, axis=0)
-            p = jnp.where(lane == 0, b, a)
-            return jnp.where((row == 0) & (lane == 0), fill0, p)
-
-        def next_elem(v, fill_last):
-            a = pltpu.roll(v, shift=LANES - 1, axis=1)      # (r, c+1)
-            b = pltpu.roll(a, shift=TILE_R - 1, axis=0)     # (r+1, c+1)
-            p = jnp.where(lane == LANES - 1, b, a)
-            return jnp.where((row == TILE_R - 1) & (lane == LANES - 1),
-                             fill_last, p)
-
-        phi_ = prev_elem(hi_o, ckey[0])
-        plo_ = prev_elem(lo_o, ckey[1])
-        first = (hi_o != phi_) | (lo_o != plo_)
-        seg0 = jnp.maximum(_flat_cummax_i32(jnp.where(first, pos, -1)),
-                           cstart[0])
-        nhi_ = next_elem(hi_o, scal_ref[6, t].astype(jnp.uint32))
-        nlo_ = next_elem(lo_o, scal_ref[7, t].astype(jnp.uint32))
-        last = (hi_o != nhi_) | (lo_o != nlo_)
-        valid = ~((hi_o == SENT) & (lo_o == SENT))
-        keep = last & valid
-        cnt = (pos - seg0 + 1).astype(jnp.uint32)
-        outs[0][:] = jnp.where(keep, hi_o, SENT)
-        outs[1][:] = jnp.where(keep, lo_o, SENT)
-        outs[2][:] = jnp.where(keep, cnt, jnp.uint32(0))
-
-        lastm = (row == TILE_R - 1) & (lane == LANES - 1)
-        ckey[0] = _extract_u32(lastm, hi_o)
-        ckey[1] = _extract_u32(lastm, lo_o)
-        cstart[0] = jnp.max(seg0)
-
-    return kernel
-
-
 def _next_tile_first_keys(hi, lo, scal, run=None, nA=None):
-    """Two extra scalar rows for the dedup kernel: the (hi, lo) of each NEXT
-    tile's first output element (sentinel after the last tile).
+    """Two extra scalar rows for the dedup kernels: the (hi, lo) of each
+    NEXT tile's first output element (sentinel after the last tile).
 
     The first output element of a tile is min(A[ga0], B[gb0]) over its
     merge-path window (A wins ties by construction); sides with an empty
@@ -550,69 +469,6 @@ def _next_tile_first_keys(hi, lo, scal, run=None, nA=None):
         jax.lax.bitcast_convert_type(nxt_hi, jnp.int32)[None],
         jax.lax.bitcast_convert_type(nxt_lo, jnp.int32)[None]])
 
-
-def _call_dedup_kernel(scal, hi, lo, ntiles, interpret):
-    chans = [_pad_chan(hi, jnp.uint32(0xFFFFFFFF)),
-             _pad_chan(lo, jnp.uint32(0xFFFFFFFF))]
-    n = hi.shape[0]
-    out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=[out_spec] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(4)
-        ] + [pltpu.SemaphoreType.DMA((4,)),
-             pltpu.SMEM((2,), jnp.uint32),
-             pltpu.SMEM((1,), jnp.int32)],
-    )
-    out = pl.pallas_call(
-        _make_stream_dedup_kernel(2),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * 3,
-        interpret=interpret,
-    )(scal, *chans)
-    return tuple(x.reshape(-1) for x in out)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stream_merge_pass_dedup_pallas(hi, lo, run, interpret: bool = False):
-    """stream_merge_pass_pallas (keys only) + the fused dedup-mark epilogue.
-
-    Use for the FINAL pass of a merge tree: returns (uhi, ulo, counts) with
-    duplicates sentinel-marked in place (see _make_stream_dedup_kernel)."""
-    n = hi.shape[0]
-    ntiles = n // TILE_E
-    a0 = _merge_partition(hi, lo, run, n)
-    t = jnp.arange(ntiles, dtype=jnp.int32)
-    pair = t // jnp.maximum(2 * run // TILE_E, 1)
-    base = pair * 2 * run
-    d = t * TILE_E - base
-    next_a0 = jnp.concatenate([a0[1:], jnp.zeros((1,), a0.dtype)])
-    next_pair = jnp.concatenate([pair[1:], jnp.full((1,), -1, pair.dtype)])
-    a1 = jnp.where(next_pair == pair, next_a0, jnp.minimum(run, d + TILE_E))
-    b0 = d - a0
-    b1 = (d + TILE_E) - a1
-    ga0 = base + a0
-    gb0 = base + run + b0
-    scal = jnp.stack([ga0 // LANES, gb0 // LANES, ga0 % LANES, gb0 % LANES,
-                      a1 - a0, b1 - b0]).astype(jnp.int32)
-    scal = _next_tile_first_keys(hi, lo, scal)
-    return _call_dedup_kernel(scal, hi, lo, ntiles, interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("nA", "interpret"))
-def stream_merge_pair_dedup_pallas(hi, lo, nA: int, interpret: bool = False):
-    """stream_merge_pair_pallas (keys only) + the fused dedup-mark epilogue
-    (the final unequal pair of a tree whose overflow round contributed)."""
-    n = hi.shape[0]
-    ntiles = n // TILE_E
-    scal = _pair_scalars(hi, lo, nA)
-    # _pair_scalars stores gb0 relative to the array start already
-    scal = _next_tile_first_keys(hi, lo, scal)
-    return _call_dedup_kernel(scal, hi, lo, ntiles, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,44 @@ def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
     return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
 
 
+def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool):
+    """Per-shard streaming fused merge over (D, cap) sharded level arrays:
+    shard_map of kernels/merge_fused.set_op_fused -- each shard merges its
+    own key range in ONE Pallas pass (8.4 GB/s) instead of the vmapped
+    4-operand re-sort. DENSE operands only (the round-3 dense dedup step
+    output and every merge output qualify)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from zotpu.dist.mesh import AXIS
+    from zotpu.kernels.merge_fused import set_op_fused
+
+    SENTX = jnp.uint32(0xFFFFFFFF)
+
+    def local(ahi, alo, ac, bhi, blo, bc, ov):
+        hi, lo, cnt, n = set_op_fused(ahi[0], alo[0], ac[0],
+                                      bhi[0], blo[0], bc[0], op="merge",
+                                      interpret=interpret)
+        m = hi.shape[0]
+        if m >= out_cap:
+            hi, lo, cnt = hi[:out_cap], lo[:out_cap], cnt[:out_cap]
+        else:
+            padk = jnp.full(out_cap - m, SENTX, jnp.uint32)
+            padc = jnp.zeros(out_cap - m, jnp.uint32)
+            hi = jnp.concatenate([hi, padk])
+            lo = jnp.concatenate([lo, padk])
+            cnt = jnp.concatenate([cnt, padc])
+        ov = jnp.maximum(ov, n - out_cap)
+        return (hi[None], lo[None], cnt[None], n[None].astype(jnp.int32),
+                ov)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(AXIS, None),) * 6 + (P(AXIS),),
+                   out_specs=(P(AXIS, None),) * 3 + (P(AXIS), P(AXIS)),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def _merge_fused_batched(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
     """vmapped _merge_fused over a leading shard axis (D, cap).
@@ -95,19 +133,23 @@ class DeviceAccumulator:
     def _cap(self, i: int) -> int:
         return min(self.base_cap << i, self.max_cap)
 
-    def add(self, hi, lo, cnt, n) -> None:
+    def add(self, hi, lo, cnt, n, dense: bool = False) -> None:
         """Insert one run of unique keys (device arrays). No host
         synchronization happens here. Runs may be sentinel-MARKED rather than
         compacted (kernels/sortdedup.dedup_mark_sorted): the merge's set_op
         re-sorts its concatenated input, so interspersed sentinel rows are
-        equivalent to trailing padding."""
+        equivalent to trailing padding. ``dense=True`` declares a DENSE
+        sorted-unique-prefix run (the TPU dedup-compact pass emits these,
+        kernels/dedup_pallas): its level-0 merges then take the streaming
+        fused merge kernel instead of the re-sort -- the round-3 fix for the
+        dominant sustained per-batch cost (docs/PERF_NOTES.md)."""
         if hi.shape[0] > self._cap(0):
             raise ValueError(
                 f"run capacity {hi.shape[0]} exceeds the accumulator's level-0 "
                 f"capacity {self._cap(0)}; construct DeviceAccumulator with "
                 f"batch_capacity >= the largest run (silent truncation would "
                 f"lose k-mers)")
-        entry = (*_pad_to(hi, lo, cnt, cap=self._cap(0)), n, False)
+        entry = (*_pad_to(hi, lo, cnt, cap=self._cap(0)), n, dense)
         i = 0
         while True:
             if len(self.levels) <= i:
@@ -152,11 +194,12 @@ class DeviceAccumulator:
                 f"{int(self.overflow)}; rerun with a larger --merge-capacity "
                 f"or use --spill-dir (host merging)")
         hi, lo, cnt, n = entry[:4]
-        # A single-batch run may never pass through set_op, leaving the entry
-        # sentinel-marked rather than compacted; one final compaction (a
-        # one-off dispatch, amortized over the whole run) makes [:n] dense.
-        from zotpu.kernels.sortdedup import compact_sorted
-        hi, lo, cnt = compact_sorted(hi, lo, cnt)
+        if not entry[4]:
+            # A single-batch run may never pass through set_op, leaving the
+            # entry sentinel-marked rather than compacted; one final
+            # compaction (a one-off dispatch) makes [:n] dense.
+            from zotpu.kernels.sortdedup import compact_sorted
+            hi, lo, cnt = compact_sorted(hi, lo, cnt)
         # delta+u16 wire transfer, 6 B/key instead of 12 (D2H of the final
         # set is the largest single tail item on slow links), with the plain
         # fallback and 1M-grid slicing handled inside.
@@ -175,7 +218,7 @@ class ShardedAccumulator:
     path previously gathered every batch to the host)."""
 
     def __init__(self, n_shards: int, batch_capacity: int,
-                 max_cap: int = 1 << 26, mesh=None):
+                 max_cap: int = 1 << 26, mesh=None, interpret: bool = False):
         self.n_shards = n_shards
         self.base_cap = _next_pow2(batch_capacity)
         # max_cap is the GLOBAL unique-key capacity; each shard gets its slice
@@ -184,6 +227,8 @@ class ShardedAccumulator:
         # same SPMD program runs under multi-controller (each process owns its
         # shards' rows); without one, XLA's propagation handles it.
         self.mesh = mesh
+        self.interpret = interpret
+        self._fused_cache: dict = {}
         self.overflow = self._shard1(np.zeros(n_shards, np.int32))
         self.levels: list = []
 
@@ -204,9 +249,12 @@ class ShardedAccumulator:
     def _cap(self, i: int) -> int:
         return min(self.base_cap << i, self.max_cap)
 
-    def add(self, uhi, ulo, counts, n) -> None:
+    def add(self, uhi, ulo, counts, n, dense: bool = False) -> None:
         """Insert per-shard runs: (D, cap) arrays + (D,) valid counts.
-        Runs may be sentinel-marked (uncompacted). No host sync."""
+        Runs may be sentinel-marked (uncompacted), or DENSE unique prefixes
+        (dense=True, the round-3 fused dedup-compact step output) -- dense
+        level merges stream through the fused Pallas merge per shard
+        instead of the vmapped re-sort. No host sync."""
         if uhi.shape[1] > self._cap(0):
             raise ValueError(
                 f"per-shard run capacity {uhi.shape[1]} exceeds level-0 "
@@ -219,7 +267,7 @@ class ShardedAccumulator:
             uhi = jnp.concatenate([uhi, padk], axis=1)
             ulo = jnp.concatenate([ulo, padk], axis=1)
             counts = jnp.concatenate([counts, padc], axis=1)
-        entry = (uhi, ulo, counts, n)
+        entry = (uhi, ulo, counts, n, dense)
         i = 0
         while True:
             if len(self.levels) <= i:
@@ -233,9 +281,22 @@ class ShardedAccumulator:
             i += 1
 
     def _merge(self, a, b, out_cap: int):
+        from zotpu.kernels.dispatch import use_pallas
+        both_dense = a[4] and b[4]
+        if both_dense and self.mesh is not None and (use_pallas()
+                                                     or self.interpret):
+            key = (a[0].shape[1], b[0].shape[1], out_cap)
+            fn = self._fused_cache.get(key)
+            if fn is None:
+                fn = _make_sharded_fused_merge(self.mesh, out_cap,
+                                               self.interpret)
+                self._fused_cache[key] = fn
+            hi, lo, cnt, n, self.overflow = fn(
+                a[0], a[1], a[2], b[0], b[1], b[2], self.overflow)
+            return hi, lo, cnt, n, True
         hi, lo, cnt, n, self.overflow = _merge_fused_batched(
             a[0], a[1], a[2], b[0], b[1], b[2], self.overflow, out_cap=out_cap)
-        return hi, lo, cnt, n
+        return hi, lo, cnt, n, True
 
     def result(self):
         """Merge remaining levels, check deferred overflow, compact each
@@ -254,7 +315,8 @@ class ShardedAccumulator:
             z = np.zeros((self.n_shards, 0), np.uint32)
             return z, z, z, np.zeros(self.n_shards, np.int32)
         hi, lo, cnt, n = entry[:4]
-        hi, lo, cnt = jax.vmap(compact_sorted)(hi, lo, cnt)
+        if not entry[4]:
+            hi, lo, cnt = jax.vmap(compact_sorted)(hi, lo, cnt)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils as mh
             hi, lo, cnt, n, ov = (

@@ -197,7 +197,10 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         if use_acc:
             if acc is None:
                 acc = DeviceAccumulator(uhi.shape[0], max_cap=merge_capacity)
-            acc.add(uhi, ulo, counts, n)  # no host sync: pipeline stays async
+            # dense=True on TPU (the Pallas dedup-compact pass): level-0
+            # merges then stream through the fused merge kernel (round 3)
+            from zotpu.kernels.sortdedup import kmer_dedup_dense
+            acc.add(uhi, ulo, counts, n, dense=kmer_dedup_dense())
             return
         # spill mode transfers every batch by design (checkpoint
         # granularity); ride the same delta+u16 D2H codec as the final
@@ -429,7 +432,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                 acc = ShardedAccumulator(n_shards, cap_out,
                                          max_cap=merge_capacity, mesh=mesh)
             acc.add(uhi.reshape(n_shards, -1), ulo.reshape(n_shards, -1),
-                    counts.reshape(n_shards, -1), n_unique)
+                    counts.reshape(n_shards, -1), n_unique,
+                    dense=shuffle.step_emits_dense(k, n_shards, shard_hash))
             route_overflow = (overflow if route_overflow is None
                               else route_overflow + overflow)
             routed_tot = routed if routed_tot is None else routed_tot + routed
