@@ -423,6 +423,49 @@ def test_kmerize_sharded_spill_resume(tmp_path, reads, capsys):
     assert np.array_equal(counts_acc, counts_full)
 
 
+def test_kmerize_resume_rejects_stale_layout(tmp_path, reads):
+    """Resuming with a different batching layout must recompute rather than
+    reuse run files covering the wrong read subsets (ADVICE round 3: run
+    contents depend on the layout, which is now stamped into run meta)."""
+    from zotpu.workloads import kmerize as W
+
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    fresh_k, fresh_c = W.kmerize_paths([str(fq)], 21, batch_reads=16,
+                                       max_len=128)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    W.kmerize_paths([str(fq)], 21, batch_reads=32, max_len=128,
+                    spill_dir=str(spill))
+    # same run file names, DIFFERENT batch_reads: stale runs must be
+    # rejected (before the stamp, run000001 of 32 reads was reused as
+    # batch 1 of 16 reads -- silently double-counting half the file)
+    keys, counts = W.kmerize_paths([str(fq)], 21, batch_reads=16,
+                                   max_len=128, spill_dir=str(spill),
+                                   resume=True)
+    assert np.array_equal(keys, fresh_k)
+    assert np.array_equal(counts, fresh_c)
+
+
+def test_kmerize_sharded_resume_rejects_stale_layout(tmp_path, reads):
+    """Sharded spill runs stamp the process/shard layout too."""
+    from zotpu.workloads import kmerize as W
+
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    fresh_k, fresh_c = W.kmerize_paths_sharded(
+        [str(fq)], 15, 4, batch_reads=32, max_len=128)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    W.kmerize_paths_sharded([str(fq)], 15, 4, batch_reads=64, max_len=128,
+                            spill_dir=str(spill))
+    keys, counts = W.kmerize_paths_sharded(
+        [str(fq)], 15, 4, batch_reads=32, max_len=128,
+        spill_dir=str(spill), resume=True)
+    assert np.array_equal(keys, fresh_k)
+    assert np.array_equal(counts, fresh_c)
+
+
 def test_prefetch_abandoned_consumer_shuts_down():
     import threading
 

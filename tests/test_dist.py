@@ -549,3 +549,24 @@ def test_sharded_step_fused_dedup_interpret(mesh8):
     # routed (landed-count psum) sums to the total valid k-mers
     total_kmers = int(want_c.sum())
     assert int(np.asarray(routed).sum()) == total_kmers
+
+
+def test_hosts_prefix_ordered():
+    """Gather helpers assume contiguous ascending host shard ranges; the
+    guard must detect interleaved meshes (ADVICE round 3)."""
+    from types import SimpleNamespace
+
+    from zotpu.dist.shuffle import hosts_prefix_ordered
+
+    def mesh_of(pidx):
+        devs = np.empty(len(pidx), dtype=object)
+        for i, p in enumerate(pidx):
+            devs[i] = SimpleNamespace(process_index=p)
+        return SimpleNamespace(devices=devs)
+
+    assert hosts_prefix_ordered(mesh_of([0]))
+    assert hosts_prefix_ordered(mesh_of([0, 0, 1, 1]))
+    assert hosts_prefix_ordered(mesh_of([0, 1, 2, 3]))
+    assert not hosts_prefix_ordered(mesh_of([0, 1, 0, 1]))   # interleaved
+    assert not hosts_prefix_ordered(mesh_of([1, 1, 0, 0]))   # descending
+    assert not hosts_prefix_ordered(mesh_of([0, 0, 2, 2, 1, 1]))

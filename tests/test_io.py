@@ -163,6 +163,77 @@ def test_container_delta_smaller_than_zlib(tmp_path, rng):
     assert np.array_equal(back.counts, counts)
 
 
+def test_chunk_reader_all_codecs(tmp_path, rng):
+    """ChunkReader must reproduce container.read byte-for-byte for every
+    codec, chunk size, and counts-presence combination (VERDICT round 3
+    item 7: cmd_merge streams inputs through it)."""
+    base = np.sort(rng.integers(0, 1 << 62, size=40, dtype=np.uint64))
+    keys = np.unique((base[:, None]
+                      + np.arange(64, dtype=np.uint64)[None, :]).ravel())
+    counts = rng.integers(1, 100, size=len(keys), dtype=np.uint32)
+    counts[rng.integers(0, len(keys), 17)] = np.uint32(1 << 20)
+    for codec in ("raw", "zlib", "delta"):
+        for with_counts in (True, False):
+            pth = str(tmp_path / f"{codec}{with_counts}.zkf")
+            container.write(pth, container.KmerSet(
+                k=31, keys=keys, counts=counts if with_counts else None),
+                codec=codec)
+            for chunk in (1, 7, 1000, len(keys), len(keys) + 999):
+                r = container.ChunkReader(pth)
+                assert (r.k, r.n, r.codec) == (31, len(keys), codec)
+                got_k, got_c = [], []
+                for kc, cc in r.chunks(chunk):
+                    got_k.append(kc)
+                    if with_counts:
+                        got_c.append(cc)
+                    else:
+                        assert cc is None
+                assert np.array_equal(np.concatenate(got_k), keys), (
+                    codec, chunk)
+                if with_counts:
+                    assert np.array_equal(
+                        np.concatenate(got_c).astype(np.uint32), counts), (
+                        codec, chunk)
+
+
+def test_chunk_reader_casket_member_and_empty(tmp_path):
+    keys, counts = G.kmerize(11, ["ACGTACGTACGTAAACCCGGTT"])
+    p = str(tmp_path / "c.zkc")
+    container.casket_write(p, [
+        ("a", container.KmerSet(k=11, keys=keys, counts=counts)),
+        ("b", container.KmerSet(k=11, keys=np.empty(0, np.uint64))),
+    ], codec="zlib")
+    r = container.ChunkReader(p + "#a")
+    chunks = list(r.chunks(2))
+    assert np.array_equal(np.concatenate([c[0] for c in chunks]), keys)
+    assert list(container.ChunkReader(p + "#b").chunks(4)) == []
+    with pytest.raises(ValueError, match="casket"):
+        container.ChunkReader(p)
+
+
+def test_prefetch_many_fails_fast():
+    """A worker error must surface before other workers drain (ADVICE
+    round 3): the good generator below would take ~60 s to finish."""
+    import time
+
+    from zotpu.io.prefetch import prefetch_many
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    def slow_good():
+        for i in range(600):
+            time.sleep(0.1)
+            yield i
+
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in prefetch_many([bad, slow_good], workers=2, depth=4):
+            pass
+    assert time.perf_counter() - t0 < 20
+
+
 def test_fastq_no_trailing_newline(tmp_path):
     """Native and numpy paths must both parse a final unterminated record."""
     p = str(tmp_path / "nt.fastq")

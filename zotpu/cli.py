@@ -72,8 +72,8 @@ def _init_multihost(args, files=None, assign=True):
 def cmd_kmerize(args):
     import time
 
-    # distributed init MUST precede any module that builds a jnp constant at
-    # import time (kernels.pack's SENT32 initializes the XLA backend)
+    # distributed init MUST precede the first backend use (imports are
+    # backend-free since SENT32 became a numpy scalar, but keep the order)
     host_id, inputs = _init_multihost(args)
     from zotpu import metrics
     from zotpu.workloads import kmerize as W
@@ -133,13 +133,14 @@ def _read_all_seqs(paths):
 def cmd_merge(args):
     """Merge N sets, counts summed (BASELINE config 2).
 
-    Device path: inputs stream ONE AT A TIME in fixed-size chunks through
-    the log-structured device accumulator (workloads/accumulator.py), so
-    host RSS peaks at O(one input + chunk buffers) no matter how many
-    multi-GB runs are merged (VERDICT round 2 item 9 -- the old path
-    materialized every input before the merge tree). Saturating count
-    addition is order-insensitive here (partial sums only grow, so every
-    order reaches 0xFFFFFFFF on overflow), hence bytes match the old tree.
+    Device path: inputs stream ONE AT A TIME from disk in fixed-size chunks
+    (container.ChunkReader decodes every codec incrementally) through the
+    log-structured device accumulator (workloads/accumulator.py), so host
+    RSS peaks at O(chunk) no matter how many multi-GB runs are merged
+    (VERDICT round 3 item 7 -- the previous path still materialized each
+    whole input before chunking it). Saturating count addition is
+    order-insensitive here (partial sums only grow, so every order reaches
+    0xFFFFFFFF on overflow), hence bytes match the old tree.
     --host keeps the golden numpy oracle (loads everything; small data)."""
     if args.host:
         sets = []
@@ -165,23 +166,22 @@ def cmd_merge(args):
         k = None
         n_in = 0
         for p in args.inputs:
-            ks, counts = _load_padded(p)
+            r = container.ChunkReader(p)
             n_in += 1
             if k is None:
-                k = ks.k
-            elif ks.k != k:
-                print(f"error: K mismatch: {p} has k={ks.k}, expected {k}",
+                k = r.k
+            elif r.k != k:
+                print(f"error: K mismatch: {p} has k={r.k}, expected {k}",
                       file=sys.stderr)
                 return 1
             if acc is None:
                 acc = DeviceAccumulator(CHUNK, max_cap=args.merge_capacity)
-            for lo in range(0, ks.n, CHUNK):
-                kc = ks.keys[lo:lo + CHUNK]
+            for kc, cc in r.chunks(CHUNK):
                 hi32, lo32 = S.split_hi_lo(kc)
+                if cc is None:
+                    cc = np.ones(len(kc), np.uint32)
                 acc.add(jnp.asarray(hi32), jnp.asarray(lo32),
-                        jnp.asarray(counts[lo:lo + CHUNK].astype(np.uint32)),
-                        len(kc))
-            del ks, counts  # free before the next input loads
+                        jnp.asarray(cc.astype(np.uint32)), len(kc))
         if acc is None:
             keys = np.empty(0, np.uint64)
             counts = np.empty(0, S.COUNT_DTYPE)

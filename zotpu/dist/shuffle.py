@@ -505,6 +505,27 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
     return jax.jit(fn), cap_out
 
 
+def hosts_prefix_ordered(mesh) -> bool:
+    """True when every host's devices are contiguous in the mesh AND host
+    ranges ascend with process index -- the layout gather_local_rows /
+    allgather_host_sets rely on to concatenate prefix-sharded results
+    already sorted (ADVICE round 3: on an interleaved mesh the concatenation
+    is silently unsorted; callers must pass reorder=True instead)."""
+    flat = list(mesh.devices.flat)
+    seen: dict[int, list[int]] = {}
+    for i, d in enumerate(flat):
+        seen.setdefault(d.process_index, []).append(i)
+    prev_end = -1
+    for p in sorted(seen):
+        idxs = seen[p]
+        if idxs != list(range(idxs[0], idxs[0] + len(idxs))):
+            return False
+        if idxs[0] <= prev_end:
+            return False
+        prev_end = idxs[-1]
+    return True
+
+
 def gather_local_rows(uhi, ulo, counts, n_unique, reorder: bool = False):
     """Multi-controller: THIS host's addressable shard rows -> (keys, counts).
 

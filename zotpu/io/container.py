@@ -313,6 +313,148 @@ def read_header(path: str) -> dict:
         return json.loads(f.read(int(hlen)).decode("utf-8"))
 
 
+class _ZChunkStream:
+    """Incremental inflate of one length-prefixed zlib blob in a file
+    region: read(nbytes) yields exactly nbytes (fewer at EOF) while holding
+    only O(nbytes + 1 MB) in memory."""
+
+    def __init__(self, f, start: int):
+        f.seek(start)
+        (zlen,) = np.frombuffer(f.read(8), dtype="<u8")
+        self._f = f
+        self._pos = start + 8
+        self._end = self._pos + int(zlen)
+        self.next_offset = self._end          # where the following blob starts
+        self._d = zlib.decompressobj()
+        self._buf = b""
+
+    def read(self, nbytes: int) -> bytes:
+        while len(self._buf) < nbytes:
+            if self._pos >= self._end:
+                self._buf += self._d.flush()
+                break
+            take = min(1 << 20, self._end - self._pos)
+            self._f.seek(self._pos)
+            raw = self._f.read(take)
+            self._pos += len(raw)
+            self._buf += self._d.decompress(raw)
+        out, self._buf = self._buf[:nbytes], self._buf[nbytes:]
+        return out
+
+
+class ChunkReader:
+    """Stream a set's (keys, counts) in fixed-size chunks with O(chunk)
+    host RSS -- every codec, plain files and casket members alike. This is
+    what lets `zotpu merge` combine N multi-GB runs without materializing
+    any of them (VERDICT round 3 item 7).
+
+    Usage::
+
+        r = ChunkReader(path)            # header only; no blob bytes read
+        for keys, counts in r.chunks(1 << 22):
+            ...                          # counts is None for a bare kset
+    """
+
+    def __init__(self, path: str):
+        file, member = split_member(path)
+        if member is not None:
+            m, base = _casket_member_entry(file, member)
+            off = base + int(m["offset"])
+        else:
+            off = 0
+        with open(file, "rb") as f:
+            f.seek(off)
+            if member is None and f.read(4) == CASKET_MAGIC:
+                names = [m["name"] for m in casket_toc(file)["members"]]
+                raise ValueError(
+                    f"{path} is a casket; address a member as "
+                    f"{path}#<name> (members: {names})")
+            f.seek(off)
+            hdr = _read_header_stream(f, path)
+            self._data0 = f.tell()
+        self._file, self._label = file, path
+        self.k = int(hdr["k"])
+        self.n = int(hdr["n"])
+        self.has_counts = bool(hdr["has_counts"])
+        self.codec = hdr.get("codec", "raw")
+        self.meta = hdr.get("meta", {})
+
+    def chunks(self, chunk: int):
+        if self.n == 0:
+            return
+        with open(self._file, "rb") as f:
+            if self.codec == "raw":
+                kpos, cpos = self._data0, self._data0 + 8 * self.n
+                for lo in range(0, self.n, chunk):
+                    m = min(chunk, self.n - lo)
+                    f.seek(kpos)
+                    keys = np.frombuffer(f.read(8 * m), dtype="<u8")
+                    kpos += 8 * m
+                    counts = None
+                    if self.has_counts:
+                        f.seek(cpos)
+                        counts = np.frombuffer(f.read(4 * m), dtype="<u4")
+                        cpos += 4 * m
+                    self._check(keys, counts, m)
+                    yield keys, counts
+            elif self.codec == "zlib":
+                ks = _ZChunkStream(f, self._data0)
+                cs = (_ZChunkStream(f, ks.next_offset) if self.has_counts
+                      else None)
+                for lo in range(0, self.n, chunk):
+                    m = min(chunk, self.n - lo)
+                    keys = np.frombuffer(ks.read(8 * m), dtype="<u8")
+                    counts = (np.frombuffer(cs.read(4 * m), dtype="<u4")
+                              if cs is not None else None)
+                    self._check(keys, counts, m)
+                    yield keys, counts
+            elif self.codec == "delta":
+                ds = _ZChunkStream(f, self._data0)
+                cs = (_ZChunkStream(f, ds.next_offset) if self.has_counts
+                      else None)
+                exc_at = cs.next_offset if cs is not None else ds.next_offset
+                f.seek(exc_at)
+                (n_exc,) = np.frombuffer(f.read(4), dtype="<u4")
+                n_exc = int(n_exc)
+                exc_pos = np.frombuffer(f.read(8 * n_exc),
+                                        dtype="<u8").astype(np.int64)
+                exc_key = np.frombuffer(f.read(8 * n_exc), dtype="<u8")
+                exc_cnt = np.frombuffer(f.read(4 * n_exc), dtype="<u4")
+                prev = np.uint64(0)
+                for lo in range(0, self.n, chunk):
+                    m = min(chunk, self.n - lo)
+                    d32 = np.frombuffer(ds.read(4 * m), dtype="<u4")
+                    if len(d32) != m:
+                        raise ValueError(f"{self._label}: truncated container")
+                    # per-chunk form of delta.decode: carry the running key,
+                    # apply this chunk's exceptions with the same telescoping
+                    # correction (patching row j shifts all later cumsums)
+                    computed = prev + np.cumsum(d32, dtype=np.uint64)
+                    counts = (np.frombuffer(cs.read(2 * m),
+                                            dtype="<u2").astype(np.uint32)
+                              if cs is not None else None)
+                    sel = (exc_pos >= lo) & (exc_pos < lo + m)
+                    if sel.any():
+                        ep = exc_pos[sel] - lo
+                        t = exc_key[sel] - computed[ep]      # wrapping u64
+                        steps = np.diff(t, prepend=np.uint64(0))
+                        corr = np.zeros(m, np.uint64)
+                        corr[ep] = steps
+                        computed = computed + np.cumsum(corr)
+                        if counts is not None:
+                            counts[ep] = exc_cnt[sel]
+                    prev = computed[-1]
+                    self._check(computed, counts, m)
+                    yield computed, counts
+            else:
+                raise ValueError(f"{self._label}: unknown codec "
+                                 f"{self.codec!r}")
+
+    def _check(self, keys, counts, m):
+        if len(keys) != m or (counts is not None and len(counts) != m):
+            raise ValueError(f"{self._label}: truncated container")
+
+
 def read(path: str) -> KmerSet:
     """Read a set: a ZKF path or 'casket.zkc#member'."""
     file, member = split_member(path)

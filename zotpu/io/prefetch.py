@@ -104,6 +104,10 @@ def prefetch_many(factories, workers: int = 4, depth: int = 8):
                         return
             except BaseException as e:  # re-raised in the consumer
                 errs.append(e)
+                # fail FAST: wake the consumer now instead of after every
+                # other worker drains (ADVICE round 3 -- a corrupt first
+                # .gz used to surface only after the whole run parsed)
+                _put(_SENTINEL)
                 return
 
     threads = [threading.Thread(target=worker, daemon=True)

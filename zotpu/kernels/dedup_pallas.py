@@ -29,10 +29,14 @@ sorted stream,
   DMA + a carried partial row -- merge_fused's proven append machinery, so
   the output is dense with a sentinel tail and NO XLA post-pass.
 
-``stream_merge_pass_dedup_pallas`` / ``stream_merge_pair_dedup_pallas`` in
-kernels/sort_pallas.py are the sentinel-MARKED variants fused into a merge
-pass (the sharded receive tree's final level); this module's
-``merged_dedup_compact_*`` are their DENSE-output twins.
+Entry points: ``dedup_compact_pallas`` (single sorted input -> dense
+unique+counts; the TPU dispatch for kernels/sortdedup.dedup_count_sorted)
+and ``merged_dedup_compact_{pass,pair}`` (a streaming merge pass/pair with
+the dedup-compact epilogue FUSED in -- the sharded receive tree's final
+level, dist/shuffle.merge_received_runs(dedup=True)). A sentinel-MARKED
+fused variant was prototyped during round 3 but never shipped; the dense
+compact here replaced it because dense runs keep every LSM level on the
+streaming fused merge kernel.
 """
 
 from __future__ import annotations

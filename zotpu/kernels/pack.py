@@ -17,10 +17,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from zotpu import semantics as S
 
-SENT32 = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a jnp constant here would initialize the XLA
+# backend at IMPORT time, so even --host (golden-path) commands stall when
+# the TPU tunnel is wedged. np.uint32 is strong-typed u32 under JAX's
+# promotion rules, so in-kernel arithmetic is unchanged.
+SENT32 = np.uint32(0xFFFFFFFF)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -209,9 +209,14 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         keys, cnts = transfer_sorted_set(uhi, ulo, counts, int(n))
         if run_path is not None:
             container.write(run_path, container.KmerSet(
-                k=k, keys=keys, counts=cnts, meta={"run": bno}))
+                k=k, keys=keys, counts=cnts, meta={"run": bno, **stamp}))
         stats.kmers += int(cnts.sum(dtype=np.uint64))
         runs.append((keys, cnts))
+
+    # Run-file contents depend on the batching layout; stamp it and reject
+    # stale files on resume (ADVICE round 3 -- resuming with different
+    # --batch-reads silently reused runs covering the wrong read subsets).
+    stamp = {"batch_reads": batch_reads, "max_len": max_len}
 
     # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
     # device compute and host merging of the previous batch.
@@ -222,13 +227,16 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
         if resume and run_path and os.path.exists(run_path):
-            if pending is not None:
-                consume(pending)
-                pending = None
             ks = container.read(run_path)
-            stats.kmers += int(ks.counts.sum(dtype=np.uint64))
-            runs.append((ks.keys, ks.counts))
-            continue
+            if any(ks.meta.get(key) != val for key, val in stamp.items()):
+                ks = None                     # stale layout: recompute
+            if ks is not None:
+                if pending is not None:
+                    consume(pending)
+                    pending = None
+                stats.kmers += int(ks.counts.sum(dtype=np.uint64))
+                runs.append((ks.keys, ks.counts))
+                continue
         if fail_after_batches is not None and batch_no > fail_after_batches:
             if pending is not None:
                 consume(pending)
@@ -397,6 +405,29 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     routed_tot = None      # per-shard routed k-mer volumes (device)
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     batch_no = 0
+    # Prefix-sharded gathers may concatenate host results unsorted when the
+    # mesh interleaves process indices (ADVICE round 3); detect once and
+    # fall back to an explicit reorder instead of corrupting sort order.
+    hosts_ordered = (not multi) or shuffle.hosts_prefix_ordered(mesh)
+    reorder = shard_hash == "mixed" or not hosts_ordered
+    # Spill-run contents depend on the process layout and batching (a
+    # run{N}.p{pid}.zkf covers THIS host's shard subset of batch N); stamp
+    # the layout into the run meta and reject stale files on resume
+    # (ADVICE round 3: resuming under a different --num-processes silently
+    # reused files covering the wrong shard subsets).
+    stamp = {"process_count": jax.process_count(),
+             "process_index": jax.process_index(), "n_shards": n_shards,
+             "batch_reads": batch_reads, "max_len": max_len,
+             "shard_hash": shard_hash}
+
+    def _load_run_if_valid(path):
+        if not os.path.exists(path):
+            return None
+        ks = container.read(path)
+        if any(ks.meta.get(key) != val for key, val in stamp.items()):
+            return None                       # stale layout: recompute
+        return ks
+
     for batch in _iter_global_batches(paths, mesh, reads_per_chip, rtot,
                                       max_len, k, stats,
                                       wire_pack=wire_pack, parallel=use_acc):
@@ -406,7 +437,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
         run_path = (os.path.join(spill_dir, run_name)
                     if spill_dir is not None else None)
         if resume and run_path:
-            have = os.path.exists(run_path)
+            ks = _load_run_if_valid(run_path)
+            have = ks is not None
             if multi:
                 # unanimous skip only: steps are collective, so one host
                 # missing its spill forces the batch everywhere
@@ -414,7 +446,6 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
                 have = bool(mh.process_allgather(
                     np.asarray([have])).all())
             if have:
-                ks = container.read(run_path)
                 stats.kmers += int(ks.counts.sum(dtype=np.uint64))
                 runs.append((ks.keys, ks.counts))
                 continue
@@ -462,7 +493,8 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             stats.kmers += int(cnts.sum(dtype=np.uint64))
         if run_path is not None:
             container.write(run_path, container.KmerSet(
-                k=k, keys=keys, counts=cnts, meta={"run": batch_no}))
+                k=k, keys=keys, counts=cnts,
+                meta={"run": batch_no, **stamp}))
         runs.append((keys, cnts))
     if use_acc:
         if acc is None:
@@ -495,7 +527,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
         keys, counts = merge_runs(runs, force_host=multi)
         if multi:
             keys, counts = shuffle.allgather_host_sets(
-                keys, counts, reorder=shard_hash == "mixed")
+                keys, counts, reorder=reorder)
             stats.kmers = int(counts.sum(dtype=np.uint64))
     if multi:
         # reads/bases were counted per host; sum across hosts
