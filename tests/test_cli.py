@@ -146,6 +146,44 @@ def test_jaccard_cli(tmp_path, rng, capsys):
     assert abs(out["jaccard"] - ni / nu) < 1e-12
 
 
+@pytest.mark.parametrize("op,gold", [
+    ("union", G.union), ("intersect", G.intersect), ("diff", G.difference)])
+def test_setop_cli_sharded(tmp_path, rng, op, gold, capsys):
+    """--shards N: key-prefix-sharded set op, byte-equal to single-chip
+    (VERDICT round 3 item 5)."""
+    shared = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(10)]
+    ra = shared + ["".join(rng.choice(list("ACGT"), size=100))
+                   for _ in range(20)]
+    rb = shared + ["".join(rng.choice(list("ACGT"), size=100))
+                   for _ in range(15)]
+    a = G.kmerize(19, ra)
+    b = G.kmerize(19, rb)
+    pa, pb = tmp_path / "a.zkf", tmp_path / "b.zkf"
+    container.write(str(pa), container.KmerSet(k=19, keys=a[0], counts=a[1]))
+    container.write(str(pb), container.KmerSet(k=19, keys=b[0], counts=b[1]))
+    out = tmp_path / "o.zkf"
+    assert run_cli(op, out, pa, pb, "--shards", 8) == 0
+    ks = container.read(str(out))
+    want_k, want_c = gold(a, b)
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)
+
+
+def test_jaccard_cli_sharded(tmp_path, rng, capsys):
+    a_keys = np.unique(rng.integers(0, 4 ** 10, 200).astype(np.uint64))
+    b_keys = np.unique(np.concatenate([
+        a_keys[:50], rng.integers(0, 4 ** 10, 100).astype(np.uint64)]))
+    pa, pb = tmp_path / "a.zkf", tmp_path / "b.zkf"
+    container.write(str(pa), container.KmerSet(k=10, keys=a_keys))
+    container.write(str(pb), container.KmerSet(k=10, keys=b_keys))
+    assert run_cli("jaccard", pa, pb, "--shards", 4) == 0
+    out = json.loads(capsys.readouterr().out)
+    ni = len(np.intersect1d(a_keys, b_keys))
+    nu = len(np.union1d(a_keys, b_keys))
+    assert out["intersect"] == ni and out["union"] == nu
+    assert abs(out["jaccard"] - ni / nu) < 1e-12
+
+
 def test_hist_cli_and_cutoff(tmp_path, rng, capsys):
     reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(30)]
     reads = reads * 5 + ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(40)]

@@ -5,8 +5,9 @@ Reference analog: zotmer's dispatcher `zot <command> [args...]`
 
     kmerize   FASTA/FASTQ -> ZKF k-mer set + counts        (BASELINE config 1)
     merge     N ZKF files -> one, counts summed            (BASELINE config 2)
-    union/intersect/diff  set algebra between two sets     (BASELINE config 3)
-    jaccard   similarity from psum-able cardinalities
+    union/intersect/diff  set algebra between two sets     (BASELINE config 3;
+              --shards N runs key-prefix-sharded across the mesh)
+    jaccard   similarity from cardinalities (--shards N psums them per shard)
     hist      frequency spectrum (+ error-peak cutoff)     (BASELINE config 4)
     scan      panel pulldown over read sets                (BASELINE config 5)
     filter    drop k-mers below a count threshold (--auto = spectrum cutoff)
@@ -206,7 +207,13 @@ def _binary_setop(args, op):
         keys, counts = gold((a.keys, ca), (b.keys, cb))
     else:
         from zotpu.workloads import setops as WS
-        keys, counts = WS.set_op((a.keys, ca), (b.keys, cb), op=op)
+        if getattr(args, "shards", 1) > 1:
+            # key-prefix sharded across the mesh, cardinalities psum'd
+            # (BASELINE multi-host blueprint; byte-equal to single-chip)
+            keys, counts, _ = WS.set_op_sharded(
+                (a.keys, ca), (b.keys, cb), op, a.k, args.shards)
+        else:
+            keys, counts = WS.set_op((a.keys, ca), (b.keys, cb), op=op)
     container.write(args.output, container.KmerSet(
         k=a.k, keys=keys, counts=counts, meta={"tool": f"zotpu {op}"}),
         codec=args.codec or "raw")
@@ -214,14 +221,15 @@ def _binary_setop(args, op):
     return 0
 
 
-def _pair_jaccard(a, b, host):
+def _pair_jaccard(a, b, host, shards=1):
     if host:
         ni = len(np.intersect1d(a.keys, b.keys))
         nu = len(np.union1d(a.keys, b.keys))
         na, nb = a.n, b.n
     else:
         from zotpu.workloads import setops as WS
-        r = WS.jaccard(a.keys, b.keys)
+        r = (WS.jaccard_sharded(a.keys, b.keys, a.k, shards) if shards > 1
+             else WS.jaccard(a.keys, b.keys))
         na, nb, ni, nu = r["a"], r["b"], r["intersect"], r["union"]
     return int(na), int(nb), int(ni), int(nu)
 
@@ -230,14 +238,16 @@ def cmd_jaccard(args):
     """Pairwise similarity; with >2 inputs prints the full matrix."""
     sets = [_load_padded(p)[0] for p in args.inputs]
     if len(sets) == 2:
-        na, nb, ni, nu = _pair_jaccard(sets[0], sets[1], args.host)
+        na, nb, ni, nu = _pair_jaccard(sets[0], sets[1], args.host,
+                                       args.shards)
         print(json.dumps({"command": "jaccard", "a": na, "b": nb,
                           "intersect": ni, "union": nu,
                           "jaccard": ni / nu if nu else 0.0}))
         return 0
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
-            _, _, ni, nu = _pair_jaccard(sets[i], sets[j], args.host)
+            _, _, ni, nu = _pair_jaccard(sets[i], sets[j], args.host,
+                                         args.shards)
             print(json.dumps({
                 "command": "jaccard", "a": args.inputs[i], "b": args.inputs[j],
                 "intersect": ni, "union": nu,
@@ -717,12 +727,17 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("output")
         sp.add_argument("a")
         sp.add_argument("b")
+        sp.add_argument("--shards", type=int, default=1,
+                        help="key-prefix-shard both sets over N devices "
+                             "(psum'd cardinalities; byte-equal output)")
         common(sp)
         out_codec(sp)
         sp.set_defaults(fn=lambda a, _op=op: _binary_setop(a, _op))
 
     sp = sub.add_parser("jaccard", help="similarity of two or more sets")
     sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--shards", type=int, default=1,
+                    help="shard the cardinality computation over N devices")
     common(sp)
     sp.set_defaults(fn=cmd_jaccard)
 
