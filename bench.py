@@ -205,9 +205,14 @@ def main():
         _stream({
             "metric": "kmerize_bases_per_s_chip",
             "value": r["bases_per_s"],
-            "unit": ("bases/s/chip (single-chip device step; BASELINE's "
-                     "1 Gbase/s target is per HOST = 8 of these chips -- "
-                     "the headline line carries that comparison)"),
+            "unit": ("bases/s/chip (single-chip device step, dispatch-"
+                     "amortized: slope of N-dispatch/1-fence timing -- the "
+                     "production pipeline dispatches async and syncs once "
+                     "per RUN, so the ~20-25 ms tunnel sync latency is not "
+                     "a per-batch cost; single-sync time in "
+                     "seconds_single_sync. BASELINE's 1 Gbase/s target is "
+                     "per HOST = 8 of these chips -- the headline line "
+                     "carries that comparison)"),
             "vs_baseline": r["bases_per_s"] / 1e9,
         })
         # provisional headline so a kill during shard-model still parses

@@ -356,7 +356,12 @@ def test_merge_received_runs_interpret(rng):
               for _ in range(D)]
     rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
     rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
-    got_h, got_l = merge_received_runs(rhi, rlo, D, cap, cap2, interpret=True)
+    # round 4: runs alternate direction per sender index (odd = descending)
+    ahi = jnp.asarray(np.concatenate(
+        [p[0] if i % 2 == 0 else p[0][::-1] for i, p in enumerate(parts)]))
+    alo = jnp.asarray(np.concatenate(
+        [p[1] if i % 2 == 0 else p[1][::-1] for i, p in enumerate(parts)]))
+    got_h, got_l = merge_received_runs(ahi, alo, D, cap, cap2, interpret=True)
     want_h, want_l = jax.lax.sort((rhi, rlo), num_keys=2)
     assert np.array_equal(np.asarray(got_h), np.asarray(want_h))
     assert np.array_equal(np.asarray(got_l), np.asarray(want_l))
@@ -453,6 +458,8 @@ def test_mixed_embedded_receive_tree_interpret(rng):
         assert m <= cap
         rhi[d, :m] = np.asarray(khi)[seg]
         rlo[d, :m] = np.asarray(klo)[seg]
+    rhi[1::2] = rhi[1::2, ::-1]       # odd runs stored descending (round 4)
+    rlo[1::2] = rlo[1::2, ::-1]
     rhi = jnp.asarray(rhi.reshape(-1))
     rlo = jnp.asarray(rlo.reshape(-1))
     shi = SH._strip_owner(rhi, rlo, k, p)
@@ -493,7 +500,14 @@ def test_merge_received_runs_fused_dedup_interpret(rng):
                       for _ in range(D)]
         rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
         rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
-        uhi, ulo, cnt, n = merge_received_runs(rhi, rlo, D, cap, cap2,
+        # alternating-direction runs per round section (round 4)
+        def _alt(ps):
+            return [(p[0], p[1]) if i % 2 == 0 else (p[0][::-1], p[1][::-1])
+                    for i, p in enumerate(ps)]
+        aparts = _alt(parts[:D]) + _alt(parts[D:])
+        ahi = jnp.asarray(np.concatenate([p[0] for p in aparts]))
+        alo = jnp.asarray(np.concatenate([p[1] for p in aparts]))
+        uhi, ulo, cnt, n = merge_received_runs(ahi, alo, D, cap, cap2,
                                                interpret=True, dedup=True)
         shi, slo = jax.lax.sort((rhi, rlo), num_keys=2)
         whi, wlo, wcnt, wn = dedup_count_sorted(shi, slo)

@@ -117,7 +117,7 @@ def _owner_of(hi, lo, k: int, p: int, n_shards: int):
 
 
 def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
-           capacity2: int = 0, owner=None):
+           capacity2: int = 0, owner=None, reverse_odd: bool = False):
     """Owner-route sorted-by-key entries into (D, C) buckets + all_to_all.
 
     Returns received (hi, lo, *payload) flattened to (D*(C+C2),) plus the
@@ -145,6 +145,13 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     (n_shards,) count of THIS sender's valid entries that landed in each
     destination's buckets -- psum it to get per-shard received volumes
     without scanning the received buffer (the routing-skew stat).
+
+    ``reverse_odd=True`` (round 4, tree receivers only): senders with an
+    ODD shard index emit every bucket REVERSED (one fused select on the
+    send buffer), so received runs alternate direction -- even ascending,
+    odd descending -- the storage convention the compact streaming merge
+    tree consumes (kernels/sort_pallas.tree_merge_pass_alt: an
+    [asc | desc] pair is bitonic with no padding or in-kernel flip).
     """
     p = shard_bits(n_shards)
     m = hi.shape[0]
@@ -170,6 +177,8 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     sizes = jnp.diff(jnp.concatenate([starts,
                                       jnp.array([m], jnp.int32)]))
     pos = jnp.arange(m, dtype=jnp.int32) - starts[owner]
+    odd_sender = ((jax.lax.axis_index(AXIS) % 2) == 1 if reverse_odd
+                  else None)
 
     def round_bufs(offset: int, cap_r: int):
         pos_r = pos - offset
@@ -186,7 +195,12 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
             # owner); in-bucket sentinel rows are already SENT32 for hi/lo,
             # and payload channels of sentinel rows are ignored downstream
             # (the join requires a valid key).
-            return jnp.where(live, buf, fillv)
+            buf = jnp.where(live, buf, fillv)
+            if odd_sender is not None:
+                # odd senders ship DESCENDING buckets (sentinel pad at the
+                # head) -- the receive tree's alternating-run convention
+                buf = jnp.where(odd_sender, buf[:, ::-1], buf)
+            return buf
 
         send = [fill(hi, SENT32), fill(lo, SENT32)]
         send += [fill(x, jnp.zeros((), x.dtype)) for x in payload]
@@ -231,13 +245,16 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
     """Receive-side sort for PREFIX sharding: a streaming merge tree.
 
     The received buffer is [n_shards runs of cap | n_shards runs of cap2],
-    each run key-sorted (a bucket is a contiguous slice of the sender's
-    key-sorted array; sentinel padding = max key, so runs stay sorted
-    through the fill mask). A full ``lax.sort`` re-sort costs ~0.22 Gkeys/s
-    on TPU; merging already-sorted runs with the streaming engine
-    (kernels/sort_pallas) costs one O(log TILE) pass per level --
-    log2(n_shards) passes -- measured ~20-26 ms per pass at 32M vs ~139 ms
-    for the sort (docs/PERF_NOTES.md). Requires cap, cap2 multiples of
+    each run key-sorted with ALTERNATING direction (round 4): even-indexed
+    runs ascending, odd-indexed runs DESCENDING -- the senders' fill emits
+    odd shards' buckets reversed (_route reverse_odd=True), so every merge
+    level consumes [asc | desc] pairs through the COMPACT streaming kernel
+    (kernels/sort_pallas.tree_merge_pass_alt: a T-length bitonic buffer
+    with no padded slack or in-kernel flip -- 15 network stages over half
+    the rows of the round-2/3 padded-2T form, double-buffered DMAs) and
+    re-establishes the convention by emitting odd output pairs descending.
+    A full ``lax.sort`` re-sort costs ~0.22 Gkeys/s on TPU; the tree costs
+    log2(n_shards) streaming passes. Requires cap, cap2 multiples of
     TILE_E and n_shards a power of two (make_kmerize_step rounds
     capacities up when it selects this path). Valid whenever buckets are
     key-sorted runs: always for prefix sharding, and for mixed sharding in
@@ -273,25 +290,31 @@ def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
         if final:
             return DP.merged_dedup_compact_pass(h1, l1, run,
                                                 interpret=interpret)
-        h1, l1, _ = SP.stream_merge_pass_pallas(h1, l1, None, run,
-                                                interpret=interpret)
+        h1, l1 = SP.tree_merge_pass_alt(h1, l1, run, interpret=interpret)
         run *= 2
     if cap2 == 0:
         return h1, l1
     h2, l2 = rhi[n_shards * cap:], rlo[n_shards * cap:]
+    if n_shards == 1:
+        # the single second-round bucket arrives ascending (sender 0 is
+        # even); reverse it into the final pair's DESCENDING B side
+        h2, l2 = h2[::-1], l2[::-1]
     run = cap2
     while run < n_shards * cap2:
-        h2, l2, _ = SP.stream_merge_pass_pallas(h2, l2, None, run,
-                                                interpret=interpret)
+        # the subtree's LAST pass flips parity so its single merged run
+        # comes out DESCENDING -- ready to be the final pair's B side
+        last = run * 2 >= n_shards * cap2
+        h2, l2 = SP.tree_merge_pass_alt(h2, l2, run,
+                                        parity=1 if last else 0,
+                                        interpret=interpret)
         run *= 2
     h = jnp.concatenate([h1, h2])
     l = jnp.concatenate([l1, l2])
     if dedup:
         return DP.merged_dedup_compact_pair(h, l, nA=n_shards * cap,
                                             interpret=interpret)
-    h, l, _ = SP.stream_merge_pair_pallas(h, l, None, nA=n_shards * cap,
-                                          interpret=interpret)
-    return h, l
+    return SP.tree_merge_pair_alt(h, l, nA=n_shards * cap,
+                                  interpret=interpret)
 
 
 def step_emits_dense(k: int, n_shards: int, shard_hash: str = "prefix",
@@ -402,12 +425,13 @@ def make_kmerize_step(mesh, k: int, reads_per_chip: int, read_len: int,
             # sentinels route to the last shard, weightless (as in prefix)
             hi, lo, owner, _, _ = _mixed_owner_sort(hi, lo, k, p_bits, D)
             (rhi, rlo), overflow, need2, landed = _route(
-                hi, lo, k, D, cap, capacity2=cap2, owner=owner)
+                hi, lo, k, D, cap, capacity2=cap2, owner=owner,
+                reverse_odd=use_tree)
             rhi = _strip_owner(rhi, rlo, k, p_bits)
         else:
             hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-            (rhi, rlo), overflow, need2, landed = _route(hi, lo, k, D, cap,
-                                                         capacity2=cap2)
+            (rhi, rlo), overflow, need2, landed = _route(
+                hi, lo, k, D, cap, capacity2=cap2, reverse_odd=use_tree)
         # per-shard received volume from the senders' O(D) landed counts --
         # the old full compare+sum over the received buffer is off the step
         routed = jax.lax.psum(landed, AXIS)[jax.lax.axis_index(AXIS)]

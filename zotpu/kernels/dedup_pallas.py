@@ -50,10 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zotpu.kernels.merge_fused import OUT_R, _butterfly_pack
 from zotpu.kernels.sort_pallas import (LANES, LOAD_R, TILE_E, TILE_R,
-                                       _extract_u32, _flat_cummax_i32,
-                                       _merge_partition, _merged_tile,
-                                       _next_tile_first_keys, _pad_chan,
-                                       _pair_scalars)
+                                       _alt_pass_scalars, _pair_alt_scalars,
+                                       _compact_merged_tile, _extract_u32,
+                                       _flat_cummax_i32, _less_eq2,
+                                       _pad_chan_front)
 
 SENT = 0xFFFFFFFF
 
@@ -105,36 +105,44 @@ def _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi, nxt_lo):
     return keep, cnt
 
 
-def _append_packed(t, is_flush, chans, keep, outs, obuf, pend_buf, osem, st):
+def _append_packed(t, is_flush, chans, keep, outs, obuf, pend_buf, pkbuf,
+                   osem, st):
     """Butterfly-pack keepers and append at the running element cursor
     (merge_fused's append, without its deferred-element overlay).
 
     chans = (hi, lo, cnt) register tiles; st SMEM (4,) i32 =
     [cursor_row, pend, total_out, unused]. The flush step (candidates all
-    masked) writes the carried partial row and n_out."""
+    masked) writes the carried partial row and n_out.
+
+    Round 4 fast paths (same as merge_fused's fused kernel): the butterfly
+    pack is the identity whenever the kept rows form a prefix of the tile
+    (all shift distances 0) -- the dominant case when duplicates are rare
+    (unique-heavy batches) and for sentinel-tail tiles -- and the pend
+    rotation is a no-op while the cursor stays row-aligned (it does, as
+    long as every tile keeps a LANES-multiple: in the all-keep steady
+    state pend stays 0). Both are pl.when-gated off a VMEM staging
+    buffer so the skipped vector work never executes."""
     S32 = jnp.uint32(SENT)
-    packed = _butterfly_pack(chans, keep)
     m = jnp.sum(keep.astype(jnp.int32))
+    row, lane = _row_lane(chans[0].shape)
+    pos = row * LANES + lane
+    lastk = jnp.max(jnp.where(keep, pos, jnp.int32(-1)))
+    firstd = jnp.min(jnp.where(keep, jnp.int32(pos.shape[0] * LANES), pos))
+    prefix_ok = firstd > lastk
+
+    pkbuf[0] = chans[0]
+    pkbuf[1] = chans[1]
+    pkbuf[2] = chans[2]
+
+    @pl.when(~prefix_ok)
+    def _pack():
+        a, b, c = _butterfly_pack((pkbuf[0], pkbuf[1], pkbuf[2]), keep)
+        pkbuf[0] = a
+        pkbuf[1] = b
+        pkbuf[2] = c
 
     pend = st[1]
-    fills = (S32, S32, jnp.uint32(0))
-    ext = tuple(jnp.full((1, LANES), f, jnp.uint32) for f in fills)
-    buf = tuple(jnp.concatenate([c, e], axis=0)
-                for c, e in zip(packed, ext))
-    # rotate right by pend so the packed run starts after the carried row
-    from zotpu.kernels.merge_fused import _rot_right_dyn
-    buf = _rot_right_dyn(buf, pend)
-    row, lane = _row_lane(buf[0].shape)
-    opos = row * LANES + lane
-    in_pend = opos < pend
     total = pend + m
-    garbage = opos >= total
-    o = []
-    for ch in range(3):
-        p_row = pend_buf[ch, 0:1, :]
-        o.append(jnp.where(garbage, fills[ch],
-                           jnp.where(in_pend, p_row, buf[ch])))
-
     cur = st[0]
 
     @pl.when(t > 0)
@@ -144,8 +152,30 @@ def _append_packed(t, is_flush, chans, keep, outs, obuf, pend_buf, osem, st):
                 obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
                 osem.at[ch]).wait()
 
-    for ch in range(3):
-        obuf[ch] = o[ch]
+    fills = (S32, S32, jnp.uint32(0))
+    ext = tuple(jnp.full((1, LANES), f, jnp.uint32) for f in fills)
+    orow, olane = _row_lane((OUT_R, LANES))
+    opos = orow * LANES + olane
+    in_pend = opos < pend
+    garbage = opos >= total
+    p_rows = (pend_buf[0, 0:1, :], pend_buf[1, 0:1, :], pend_buf[2, 0:1, :])
+
+    def _finish(rotfn):
+        buf = tuple(jnp.concatenate([pkbuf[ch], ext[ch]], axis=0)
+                    for ch in range(3))
+        buf = rotfn(buf)
+        for ch in range(3):
+            obuf[ch] = jnp.where(garbage, fills[ch],
+                                 jnp.where(in_pend, p_rows[ch], buf[ch]))
+
+    @pl.when(pend == 0)
+    def _rot_none():
+        _finish(lambda b: b)
+
+    @pl.when(pend > 0)
+    def _rot_dyn():
+        from zotpu.kernels.merge_fused import _rot_right_dyn
+        _finish(lambda b: _rot_right_dyn(b, pend))
 
     full = total // LANES
     new_pend = jax.lax.rem(total, LANES)
@@ -165,7 +195,7 @@ def _make_dedup_compact_kernel(ntiles: int):
 
     def kernel(scal, hi_blk, lo_blk, pre_hi, pre_lo, pre_c,
                out_hi, out_lo, out_c, n_out,
-               obuf, pend_buf, osem, ckey, cstart, st):
+               obuf, pend_buf, pkbuf, osem, ckey, cstart, st):
         del pre_hi, pre_lo, pre_c          # aliased sentinel prefill
         t = pl.program_id(0)
         S32 = jnp.uint32(SENT)
@@ -188,7 +218,7 @@ def _make_dedup_compact_kernel(ntiles: int):
         keep, cnt = _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi,
                                  nxt_lo)
         _append_packed(t, is_flush, (hi_o, lo_o, cnt), keep, outs, obuf,
-                       pend_buf, osem, st)
+                       pend_buf, pkbuf, osem, st)
 
         @pl.when(is_flush)
         def _finish():
@@ -245,6 +275,7 @@ def dedup_compact_pallas(hi, lo, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
             pltpu.VMEM((3, 8, LANES), jnp.uint32),
+            pltpu.VMEM((3, TILE_R, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((2,), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
@@ -265,23 +296,28 @@ def dedup_compact_pallas(hi, lo, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# DENSE twins of sort_pallas' marked fused-dedup merge passes: the sharded
-# receive tree's FINAL level merges two runs AND emits the dense unique set.
+# DENSE dedup-compact merge twins: the sharded receive tree's FINAL level
+# merges one pair of runs AND emits the dense unique set. Round 4: the
+# merge front is the COMPACT alternating-direction formulation
+# (sort_pallas._compact_merged_tile) -- the B run arrives stored DESCENDING
+# (the tree's alternating-run convention), so one T-length [A asc | B desc]
+# buffer is bitonic with no padded slack: 15 network stages over HALF the
+# rows of the old padded-2T _merged_tile form, with double-buffered window
+# DMAs. Scal layout: rows 0-6 = sort_pallas._alt_pass_scalars, rows 7-8 =
+# the next tile's first merged key (the dedup lookahead), + flush column.
 # ---------------------------------------------------------------------------
 
 
 def _make_merged_dedup_kernel(ntiles: int):
-    nch = 2
-
     def kernel(scal_ref, *refs):
-        ins = refs[:nch]
-        pre = refs[nch:nch + 3]
+        ins = refs[:2]
+        pre = refs[2:5]
         del pre                       # aliased sentinel prefill
-        outs = refs[nch + 3:nch + 6]
-        n_out = refs[nch + 6]
-        wins = refs[nch + 7:nch + 7 + 2 * nch]
-        sems = refs[nch + 7 + 2 * nch]
-        obuf, pend_buf, osem, ckey, cstart, st = refs[-6:]
+        outs = refs[5:8]
+        n_out = refs[8]
+        win = refs[9]
+        sems = refs[10]
+        obuf, pend_buf, pkbuf, osem, ckey, cstart, st = refs[-7:]
         t = pl.program_id(0)
         S32 = jnp.uint32(SENT)
 
@@ -295,15 +331,15 @@ def _make_merged_dedup_kernel(ntiles: int):
             st[2] = 0
 
         is_flush = t == ntiles
-        cand = _merged_tile(scal_ref, ins, wins, sems, nch, num_keys=2)
-        hi_o = jnp.where(is_flush, S32, cand[0][:TILE_R])
-        lo_o = jnp.where(is_flush, S32, cand[1][:TILE_R])
-        nxt_hi = scal_ref[6, t].astype(jnp.uint32)
-        nxt_lo = scal_ref[7, t].astype(jnp.uint32)
+        cand = _compact_merged_tile(scal_ref, t, ins, win, sems, ntiles)
+        hi_o = jnp.where(is_flush, S32, cand[0])
+        lo_o = jnp.where(is_flush, S32, cand[1])
+        nxt_hi = scal_ref[7, t].astype(jnp.uint32)
+        nxt_lo = scal_ref[8, t].astype(jnp.uint32)
         keep, cnt = _dedup_flags(hi_o, lo_o, t, ckey, cstart, nxt_hi,
                                  nxt_lo)
         _append_packed(t, is_flush, (hi_o, lo_o, cnt), keep, outs, obuf,
-                       pend_buf, osem, st)
+                       pend_buf, pkbuf, osem, st)
 
         @pl.when(is_flush)
         def _finish():
@@ -317,10 +353,11 @@ def _make_merged_dedup_kernel(ntiles: int):
 
 
 def _call_merged_dedup(scal, hi, lo, ntiles, interpret):
-    """scal must have ntiles+1 columns (the flush column clamps windows)."""
+    """scal must have ntiles+1 columns (the flush column's windows load
+    safe front-pad rows)."""
     n = hi.shape[0]
-    chans = [_pad_chan(hi, jnp.uint32(SENT)),
-             _pad_chan(lo, jnp.uint32(SENT))]
+    chans = [_pad_chan_front(hi, jnp.uint32(SENT)),
+             _pad_chan_front(lo, jnp.uint32(SENT))]
     cap_rows = n // LANES + OUT_R + 8
     prefill_k = jnp.full((cap_rows, LANES), jnp.uint32(SENT))
     prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
@@ -331,14 +368,15 @@ def _call_merged_dedup(scal, hi, lo, ntiles, interpret):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
                   [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((LOAD_R, LANES), jnp.uint32) for _ in range(4)
-        ] + [pltpu.SemaphoreType.DMA((4,)),
-             pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
-             pltpu.VMEM((3, 8, LANES), jnp.uint32),
-             pltpu.SemaphoreType.DMA((3,)),
-             pltpu.SMEM((2,), jnp.uint32),
-             pltpu.SMEM((1,), jnp.int32),
-             pltpu.SMEM((4,), jnp.int32)],
+            pltpu.VMEM((2, 4, LOAD_R, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
+            pltpu.VMEM((3, 8, LANES), jnp.uint32),
+            pltpu.VMEM((3, TILE_R, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((2,), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32)],
     )
     out_hi, out_lo, out_c, n_out = pl.pallas_call(
         _make_merged_dedup_kernel(ntiles),
@@ -353,44 +391,62 @@ def _call_merged_dedup(scal, hi, lo, ntiles, interpret):
 
 
 def _flush_col(scal):
-    """Append one safe column for the flush grid step: windows clamp to
-    row 0 with zero counts (masked to sentinel in-kernel anyway)."""
+    """Append one safe column for the flush grid step: windows load row 0
+    (front padding) with zero counts (masked to sentinel in-kernel)."""
     return jnp.concatenate([scal, jnp.zeros((scal.shape[0], 1), jnp.int32)],
                            axis=1)
 
 
+def _alt_lookahead_rows(hi, lo, scal, ga_first, gb_first):
+    """Two extra scal rows: each NEXT tile's first merged key (sentinel
+    after the last tile). The first merged element of a tile is
+    min(A[ga_first], B_fwd[b0]) over its window (A wins ties); the B side's
+    first FORWARD element lives at stored index ``gb_first`` (descending
+    storage). Indices are unpadded globals."""
+    n = hi.shape[0]
+    S = jnp.uint32(SENT)
+    a_cnt = scal[4]
+    b_cnt = scal[5]
+    sa = jnp.clip(ga_first, 0, n - 1)
+    sb = jnp.clip(gb_first, 0, n - 1)
+    ahi = jnp.where(a_cnt > 0, hi[sa], S)
+    alo = jnp.where(a_cnt > 0, lo[sa], S)
+    bhi = jnp.where(b_cnt > 0, hi[sb], S)
+    blo = jnp.where(b_cnt > 0, lo[sb], S)
+    a_le = _less_eq2(ahi, alo, bhi, blo)
+    fhi = jnp.where(a_le, ahi, bhi)
+    flo = jnp.where(a_le, alo, blo)
+    nxt_hi = jnp.concatenate([fhi[1:], jnp.full((1,), S, jnp.uint32)])
+    nxt_lo = jnp.concatenate([flo[1:], jnp.full((1,), S, jnp.uint32)])
+    return jnp.concatenate([
+        scal.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(nxt_hi, jnp.int32)[None],
+        jax.lax.bitcast_convert_type(nxt_lo, jnp.int32)[None]])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def merged_dedup_compact_pass(hi, lo, run, interpret: bool = False):
-    """Equal-run streaming merge pass + DENSE dedup-compact epilogue
-    (the final level of a merge tree over 2 runs of traced length
-    ``run``). Returns dense (uhi, ulo, counts, n_unique)."""
+    """ONE pair of equal runs of traced length ``run`` -- A = [:run]
+    ascending, B = [run:] stored DESCENDING (the tree convention) --
+    streaming-merged with the DENSE dedup-compact epilogue fused in.
+    Returns dense (uhi, ulo, counts, n_unique)."""
     n = hi.shape[0]
     ntiles = n // TILE_E
-    a0 = _merge_partition(hi, lo, run, n)
-    t = jnp.arange(ntiles, dtype=jnp.int32)
-    pair = t // jnp.maximum(2 * run // TILE_E, 1)
-    base = pair * 2 * run
-    d = t * TILE_E - base
-    next_a0 = jnp.concatenate([a0[1:], jnp.zeros((1,), a0.dtype)])
-    next_pair = jnp.concatenate([pair[1:], jnp.full((1,), -1, pair.dtype)])
-    a1 = jnp.where(next_pair == pair, next_a0, jnp.minimum(run, d + TILE_E))
-    b0 = d - a0
-    b1 = (d + TILE_E) - a1
-    ga0 = base + a0
-    gb0 = base + run + b0
-    scal = jnp.stack([ga0 // LANES, gb0 // LANES, ga0 % LANES, gb0 % LANES,
-                      a1 - a0, b1 - b0]).astype(jnp.int32)
-    scal = _flush_col(_next_tile_first_keys(hi, lo, scal))
+    scal, (a0, b0, base) = _alt_pass_scalars(hi, lo, run, 0)
+    gbf = base + 2 * run - 1 - b0
+    scal = _flush_col(_alt_lookahead_rows(hi, lo, scal, base + a0, gbf))
     return _call_merged_dedup(scal, hi, lo, ntiles, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("nA", "interpret"))
 def merged_dedup_compact_pair(hi, lo, nA: int, interpret: bool = False):
-    """Unequal-pair streaming merge + DENSE dedup-compact epilogue
-    (A = [:nA], B = [nA:], both TILE_E multiples; nB may be 0 for a
-    single-run dedup through the same kernel)."""
+    """Unequal-pair streaming merge + DENSE dedup-compact epilogue:
+    A = [:nA] ascending, B = [nA:] stored DESCENDING (both TILE_E
+    multiples; nB may be 0 for a single-run dedup through the same
+    kernel)."""
     n = hi.shape[0]
     ntiles = n // TILE_E
-    scal = _flush_col(_next_tile_first_keys(hi, lo, _pair_scalars(hi, lo,
-                                                                  nA)))
+    scal, (a0, b0, _) = _pair_alt_scalars(hi, lo, nA)
+    gbf = n - 1 - b0
+    scal = _flush_col(_alt_lookahead_rows(hi, lo, scal, a0, gbf))
     return _call_merged_dedup(scal, hi, lo, ntiles, interpret)

@@ -53,10 +53,6 @@ LOAD_R = TILE_R + 8          # input window rows (alignment slack, 8-aligned)
 OUT_R = TILE_R + 1           # output buffer rows (tile + carried partial row)
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(x - 1, 0).bit_length()
-
-
 def _row_lane(shape):
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -217,11 +213,12 @@ def _make_fused_kernel(op: str, ntiles: int):
 
     def kernel(scal, ahi, alo, ac, bhi, blo, bc, pre_hi, pre_lo, pre_c,
                out_hi, out_lo, out_c, n_out,
-               win, obuf, pend_buf, sems, osem, st, dk):
+               win, obuf, pend_buf, pkbuf, sems, osem, st, dk):
         # scratch:
         #  win (2, 6, LOAD_R, 128) u32: [slot][side*3+ch] input windows
         #  obuf (3, OUT_R, 128) u32: output assembly buffer
         #  pend_buf (3, 8, 128) u32: carried partial row (row 0 used)
+        #  pkbuf (3, TILE_R, 128) u32: pack staging (drop-free fast path)
         #  sems (2, 6) DMA in; osem (3,) DMA out
         #  st SMEM (8,) i32: [cursor_row, pend, total_out, d_live]
         #  dk SMEM (4,) u32: deferred [hi, lo, count]
@@ -332,37 +329,37 @@ def _make_fused_kernel(op: str, ntiles: int):
         dk[2] = _extract(last, vc)
         st[3] = nd_live
         keep = keep & ~last
-
-        chi, clo, cc = _butterfly_pack((vhi, vlo, cnt), keep)
         m = jnp.sum(keep.astype(jnp.int32))
 
-        # assemble the output window: [pending | deferred? | packed tile],
-        # sentinel-masked beyond; positions vacated by the right-rotation
-        # are exactly the pending/deferred overlay region.
-        pend = st[1]
-        d_emit_i = d_emit.astype(jnp.int32)
-        ext = (jnp.full((1, LANES), SENT, jnp.uint32),) * 2 + \
-            (jnp.zeros((1, LANES), jnp.uint32),)
-        buf = tuple(jnp.concatenate([c, e], axis=0)
-                    for c, e in zip((chi, clo, cc), ext))
-        buf = _rot_right_dyn(buf, pend + d_emit_i)
-        opos = _flat_pos(buf[0].shape)
-        at_def = (opos == pend) & d_emit
-        in_pend = opos < pend
-        p_hi = pend_buf[0, 0:1, :]
-        p_lo = pend_buf[1, 0:1, :]
-        p_c = pend_buf[2, 0:1, :]
-        total = pend + d_emit_i + m
-        garbage = opos >= total
-        o_hi = jnp.where(garbage, SENT, jnp.where(
-            at_def, d_hi, jnp.where(in_pend, p_hi, buf[0])))
-        o_lo = jnp.where(garbage, SENT, jnp.where(
-            at_def, d_lo, jnp.where(in_pend, p_lo, buf[1])))
-        o_c = jnp.where(garbage, jnp.uint32(0), jnp.where(
-            at_def, d_cnt, jnp.where(in_pend, p_c, buf[2])))
+        # Drop-free fast path (round 4): the butterfly pack is ~1/3 of the
+        # kernel's vector work but is the IDENTITY whenever the kept rows
+        # already form a prefix of the tile (every shift distance is then
+        # 0). That is the dominant case for merges of mostly-disjoint sets
+        # (cross-batch accumulator merges: drops are rare interior
+        # combines) and for sentinel-tail tiles (keeps are a live prefix).
+        # Stage the channels in VMEM and pack only when a kept row follows
+        # a dropped one.
+        lastk = jnp.max(jnp.where(keep, pos, jnp.int32(-1)))
+        firstd = jnp.min(jnp.where(keep, jnp.int32(TILE_E), pos))
+        prefix_ok = firstd > lastk
+
+        pkbuf[0] = vhi
+        pkbuf[1] = vlo
+        pkbuf[2] = cnt
+
+        @pl.when(~prefix_ok)
+        def _pack():
+            a, b, c3 = _butterfly_pack((pkbuf[0], pkbuf[1], pkbuf[2]), keep)
+            pkbuf[0] = a
+            pkbuf[1] = b
+            pkbuf[2] = c3
 
         # the previous tile's store reads obuf and overlaps this tile's
         # window rows: wait for it before overwriting/starting ours.
+        pend = st[1]
+        d_emit_i = d_emit.astype(jnp.int32)
+        rot = pend + d_emit_i
+        total = pend + d_emit_i + m
         cur = st[0]
 
         @pl.when(t > 0)
@@ -372,9 +369,45 @@ def _make_fused_kernel(op: str, ntiles: int):
                     obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
                     osem.at[ch]).wait()
 
-        obuf[0] = o_hi
-        obuf[1] = o_lo
-        obuf[2] = o_c
+        # assemble the output window: [pending | deferred? | packed tile],
+        # sentinel-masked beyond; positions vacated by the right-rotation
+        # are exactly the pending/deferred overlay region. The rotation
+        # amount is pend + d_emit; in the steady drop-free state it is
+        # exactly 1 (pend stays 0, the deferred element re-emits), so the
+        # dynamic 8-stage rotation specializes to one constant rotate --
+        # each branch runs register-resident off the staged pack buffer.
+        opos = _flat_pos((OUT_R, LANES))
+        at_def = (opos == pend) & d_emit
+        in_pend = opos < pend
+        garbage = opos >= total
+        p_rows = (pend_buf[0, 0:1, :], pend_buf[1, 0:1, :],
+                  pend_buf[2, 0:1, :])
+        d_vals = (d_hi, d_lo, d_cnt)
+        fills = (SENT, SENT, jnp.uint32(0))
+        ext = (jnp.full((1, LANES), SENT, jnp.uint32),) * 2 + \
+            (jnp.zeros((1, LANES), jnp.uint32),)
+
+        def _finish(rotfn):
+            buf = tuple(jnp.concatenate([pkbuf[ch], ext[ch]], axis=0)
+                        for ch in range(3))
+            buf = rotfn(buf)
+            for ch in range(3):
+                obuf[ch] = jnp.where(
+                    garbage, fills[ch],
+                    jnp.where(at_def, d_vals[ch],
+                              jnp.where(in_pend, p_rows[ch], buf[ch])))
+
+        @pl.when(rot == 0)
+        def _rot_none():
+            _finish(lambda b: b)
+
+        @pl.when(rot == 1)
+        def _rot_one():
+            _finish(lambda b: tuple(_rot_right_const(c, 1) for c in b))
+
+        @pl.when(rot > 1)
+        def _rot_dyn():
+            _finish(lambda b: _rot_right_dyn(b, rot))
 
         full = total // LANES
         new_pend = jax.lax.rem(total, LANES)
@@ -409,9 +442,12 @@ def set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
 
     Same contract/outputs as ``setops.set_op`` (hi, lo, counts, n_out):
     dense sorted unique prefix, sentinel/0 beyond, output capacity
-    next_pow2(|A|) + next_pow2(|B|) + one spill tile."""
-    MA = max(_next_pow2(hi_a.shape[0]), TILE_E)
-    MB = max(_next_pow2(hi_b.shape[0]), TILE_E)
+    TILE-rounded |A| + |B| + one spill tile. (Round 4: inputs pad to the
+    next TILE_E multiple, not the next power of two -- pow2 padding cost
+    ~10% extra candidates at the accumulator's level shapes, and every
+    padded candidate rides the full merge network.)"""
+    MA = max(-(-hi_a.shape[0] // TILE_E) * TILE_E, TILE_E)
+    MB = max(-(-hi_b.shape[0] // TILE_E) * TILE_E, TILE_E)
     n = MA + MB
     ntiles = n // TILE_E
 
@@ -477,6 +513,7 @@ def set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
             pltpu.VMEM((2, 6, LOAD_R, LANES), jnp.uint32),
             pltpu.VMEM((3, OUT_R, LANES), jnp.uint32),
             pltpu.VMEM((3, 8, LANES), jnp.uint32),
+            pltpu.VMEM((3, TILE_R, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 6)),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((8,), jnp.int32),

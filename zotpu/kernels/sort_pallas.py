@@ -96,11 +96,16 @@ def _compare_exchange(chans, s, ascending_mask, num_keys=2):
                  for pc, c in zip(partners, chans))
 
 
-def _bitonic_merge_block(chans, n, num_keys=2):
-    """Merge step only: input is two sorted halves, second half DESCENDING
-    overall bitonic; cleans into fully ascending order."""
+def _bitonic_merge_block(chans, n, num_keys=2, asc=None):
+    """Merge step only: input is a bitonic sequence (e.g. two sorted halves,
+    second half descending); cleans into fully ASCENDING order, or fully
+    DESCENDING when ``asc`` (a broadcastable bool mask, usually a scalar)
+    is False."""
     s = n // 2
-    asc = jnp.ones(chans[0].shape, bool)
+    if asc is None:
+        asc = jnp.ones(chans[0].shape, bool)
+    else:
+        asc = jnp.full(chans[0].shape, True) & asc
     while s >= 1:
         chans = _compare_exchange(chans, s, asc, num_keys)
         s //= 2
@@ -661,3 +666,265 @@ def stream_join_pair_pallas(hi, lo, tag, nA: int, n_tag: int,
     tile_hits = blk[:, -1].astype(jnp.int32)
     hit_tags = blk.at[:, -1].set(jnp.uint32(n_tag)).reshape(-1)
     return out.reshape(-1), hit_tags, tile_hits
+
+
+# ---------------------------------------------------------------------------
+# Round 4: COMPACT alternating-direction streaming merge passes -- the
+# receive merge tree's production kernels (dist/shuffle.merge_received_runs).
+#
+# The _merged_tile formulation above pads each side's window to a full tile
+# and runs a 16-stage network over 2*TILE_E candidates (half of them
+# sentinel slack), plus a 15-stage in-kernel flip of the B side, with
+# serial (non-overlapped) window DMAs. kernels/merge_fused.py proved the
+# compact form: store the B run DESCENDING, so one T-length buffer
+# [A live asc | B live desc] is bitonic with NO padding -- 15 stages over
+# HALF the rows -- and double-buffer the window DMAs across grid steps.
+#
+# The descending B sides come free by CONVENTION instead of an in-kernel
+# flip: runs alternate direction by index (even ascending, odd descending).
+# Senders emit their buckets reversed when their shard index is odd
+# (dist/shuffle._route reverse_odd -- one fused select on the send buffer),
+# and each merge level re-establishes the convention by emitting odd output
+# pairs descending: the SAME bitonic network sorts descending (direction is
+# a per-tile scalar), and the stored tile of a descending run is exactly
+# the descending sort of the MIRRORED logical window, so only the XLA-side
+# partition bookkeeping changes.
+# ---------------------------------------------------------------------------
+
+FRONT_R = LOAD_R          # front pad rows: descending windows are END-aligned
+
+
+def _pad_chan_front(x, fill):
+    """(front | x | back) row padding so both window row offsets stay in
+    bounds: ascending windows overrun the tail (rotation slack), descending
+    END-aligned windows can start before element 0."""
+    return jnp.concatenate([
+        jnp.full((FRONT_R, LANES), fill, x.dtype),
+        x.reshape(-1, LANES),
+        jnp.full((LOAD_R, LANES), fill, x.dtype)])
+
+
+def _alt_partition(hi, lo, run, base, d):
+    """a0 per tile for [A asc | B desc-stored] pairs at logical merged
+    offset ``d`` (all vectors over tiles). A is stored forward at
+    [base, base+run); B fwd element j is stored[base + 2*run - 1 - j].
+    A-first-on-ties, like _merge_partition."""
+    n = hi.shape[0]
+    lo_b = jnp.maximum(0, d - run)
+    hi_b = jnp.minimum(d, run)
+
+    def a_le_b(a_idx, b_idx):
+        ga = jnp.clip(base + a_idx, 0, n - 1)
+        gb = jnp.clip(base + 2 * run - 1 - b_idx, 0, n - 1)
+        le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
+        le = jnp.where(a_idx < 0, True, le)
+        le = jnp.where(b_idx >= run, True, le)
+        le = jnp.where(b_idx < 0, False, le)
+        return le
+
+    def body(_, carry):
+        lo_c, hi_c = carry
+        mid = (lo_c + hi_c + 1) >> 1
+        ok = a_le_b(mid - 1, d - mid)
+        return jnp.where(ok, mid, lo_c), jnp.where(ok, hi_c, mid - 1)
+
+    a0, _ = jax.lax.fori_loop(0, 31, body, (lo_b, hi_b))
+    return a0
+
+
+def _alt_window_rows(ga0, gbend):
+    """Window row/rotation scalars for the compact kernel, given the A
+    window's first element and the B window's exclusive END (both in
+    FRONT-padded element coordinates). The B window is loaded so that after
+    a right-rotation by b_rot its last live element sits at the end of row
+    TILE_R of the LOAD_R window (the kernel slices rows [1, TILE_R+1))."""
+    bend_row = (gbend + LANES - 1) // LANES
+    return (ga0 // LANES,                      # a_row0
+            bend_row - TILE_R - 1,             # b_row
+            ga0 % LANES,                       # a_rot
+            (LANES - gbend % LANES) % LANES)   # b_rot
+
+
+def _alt_pass_scalars(hi, lo, run, parity: int):
+    """Per-tile scalars for the equal-run alternating pass. Rows:
+    [a_row0, b_row, a_rot, b_rot, a_cnt, b_cnt, asc]. Also returns the
+    pieces the dedup twin needs for its lookahead row."""
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    t = jnp.arange(ntiles, dtype=jnp.int32)
+    tpp = jnp.maximum(2 * run // TILE_E, 1)
+    p = t // tpp
+    t_local = t - p * tpp
+    base = p * 2 * run
+    asc = ((p + parity) % 2) == 0
+    # a descending output run's stored tile holds the MIRRORED logical
+    # window, descending -- so the partition runs at the mirrored offset
+    d0 = jnp.where(asc, t_local * TILE_E,
+                   2 * run - (t_local + 1) * TILE_E)
+    a0 = _alt_partition(hi, lo, run, base, d0)
+    a1 = _alt_partition(hi, lo, run, base, d0 + TILE_E)
+    b0 = d0 - a0
+    b1 = (d0 + TILE_E) - a1
+    ga0 = base + a0 + FRONT_R * LANES
+    gbend = base + 2 * run - b0 + FRONT_R * LANES
+    a_row0, b_row, a_rot, b_rot = _alt_window_rows(ga0, gbend)
+    scal = jnp.stack([a_row0, b_row, a_rot, b_rot,
+                      a1 - a0, b1 - b0,
+                      asc.astype(jnp.int32)]).astype(jnp.int32)
+    return scal, (a0, b0, base)
+
+
+def _pair_alt_scalars(hi, lo, nA: int):
+    """Per-tile scalars for ONE [A asc | B desc-stored] pair of UNEQUAL
+    static lengths (A = [:nA] ascending, B = [nA:] descending); ascending
+    output. Same scal layout as _alt_pass_scalars."""
+    n = hi.shape[0]
+    nB = n - nA
+    ntiles = n // TILE_E
+    d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
+
+    def a_of(dd):
+        lo_b = jnp.maximum(0, dd - nB)
+        hi_b = jnp.minimum(dd, nA)
+
+        def a_le_b(a_idx, b_idx):
+            ga = jnp.clip(a_idx, 0, n - 1)
+            gb = jnp.clip(nA + nB - 1 - b_idx, 0, n - 1)
+            le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
+            le = jnp.where(a_idx < 0, True, le)
+            le = jnp.where(b_idx >= nB, True, le)
+            le = jnp.where(b_idx < 0, False, le)
+            return le
+
+        def body(_, carry):
+            lo_c, hi_c = carry
+            mid = (lo_c + hi_c + 1) >> 1
+            ok = a_le_b(mid - 1, dd - mid)
+            return jnp.where(ok, mid, lo_c), jnp.where(ok, hi_c, mid - 1)
+
+        a0, _ = jax.lax.fori_loop(0, 31, body, (lo_b, hi_b))
+        return a0
+
+    a0 = a_of(d)
+    a1 = a_of(d + TILE_E)
+    b0 = d - a0
+    b1 = (d + TILE_E) - a1
+    ga0 = a0 + FRONT_R * LANES
+    gbend = n - b0 + FRONT_R * LANES
+    a_row0, b_row, a_rot, b_rot = _alt_window_rows(ga0, gbend)
+    scal = jnp.stack([a_row0, b_row, a_rot, b_rot,
+                      a1 - a0, b1 - b0,
+                      jnp.ones_like(a0)]).astype(jnp.int32)
+    return scal, (a0, b0, jnp.zeros_like(a0))
+
+
+def _compact_merged_tile(scal, t, ins, win, sems, last_issue):
+    """Shared compact-front body: double-buffered window DMAs + the
+    T-length [A asc | B desc] bitonic buffer. Returns (hi, lo) register
+    tiles of the merged output tile (direction = scal[6, t]).
+
+    win (2, 4, LOAD_R, LANES) scratch: [slot][side*2 + ch];
+    sems DMA (2, 4). ``last_issue`` = the last grid step that must still
+    issue windows (ntiles - 1 for plain passes, ntiles for dedup flush
+    grids whose extra column carries safe clamped offsets)."""
+    from zotpu.kernels.merge_fused import (_flat_pos, _rot_left_dyn,
+                                           _rot_right_dyn)
+
+    def dma(tt, slot, side, ch):
+        row = scal[side, tt]
+        return pltpu.make_async_copy(
+            ins[ch].at[pl.ds(row, LOAD_R), :],
+            win.at[slot, side * 2 + ch],
+            sems.at[slot, side * 2 + ch])
+
+    def issue(tt):
+        slot = jax.lax.rem(tt, 2)
+        for side in range(2):
+            for ch in range(2):
+                dma(tt, slot, side, ch).start()
+
+    @pl.when(t == 0)
+    def _first():
+        issue(0)
+
+    @pl.when(t + 1 <= last_issue)
+    def _next():
+        issue(t + 1)
+
+    slot = jax.lax.rem(t, 2)
+    for side in range(2):
+        for ch in range(2):
+            dma(t, slot, side, ch).wait()
+
+    a_rot = scal[2, t]
+    b_rot = scal[3, t]
+    a_cnt = scal[4, t]
+    asc = scal[6, t] != 0
+    a = _rot_left_dyn((win[slot, 0], win[slot, 1]), a_rot)
+    b = _rot_right_dyn((win[slot, 2], win[slot, 3]), b_rot)
+    pos = _flat_pos((TILE_R, LANES))
+    in_a = pos < a_cnt
+    cand = tuple(jnp.where(in_a, x[:TILE_R], y[1:TILE_R + 1])
+                 for x, y in zip(a, b))
+    return _bitonic_merge_block(cand, TILE_E, num_keys=2, asc=asc)
+
+
+def _make_alt_pass_kernel(ntiles: int):
+    def kernel(scal, hi_in, lo_in, out_hi, out_lo, win, sems):
+        t = pl.program_id(0)
+        hi_o, lo_o = _compact_merged_tile(scal, t, (hi_in, lo_in), win,
+                                          sems, ntiles - 1)
+        out_hi[:] = hi_o
+        out_lo[:] = lo_o
+    return kernel
+
+
+def _call_alt_pass(scal, hi, lo, interpret: bool):
+    n = hi.shape[0]
+    ntiles = n // TILE_E
+    chans = [_pad_chan_front(hi, jnp.uint32(0xFFFFFFFF)),
+             _pad_chan_front(lo, jnp.uint32(0xFFFFFFFF))]
+    out_spec = pl.BlockSpec((TILE_R, LANES), lambda t, s: (t, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[out_spec] * 2,
+        scratch_shapes=[pltpu.VMEM((2, 4, LOAD_R, LANES), jnp.uint32),
+                        pltpu.SemaphoreType.DMA((2, 4))],
+    )
+    out = pl.pallas_call(
+        _make_alt_pass_kernel(ntiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)] * 2,
+        interpret=interpret,
+    )(scal, *chans)
+    return out[0].reshape(-1), out[1].reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("parity", "interpret"))
+def tree_merge_pass_alt(hi, lo, run, parity: int = 0,
+                        interpret: bool = False):
+    """One compact streaming merge pass over ALTERNATING-direction sorted
+    runs of (traced) length ``run``: even runs ascending, odd descending.
+    Output runs of length 2*run follow the same convention -- odd output
+    pairs are emitted DESCENDING -- so passes chain without any reversal.
+    ``parity=1`` flips the convention for the OUTPUT only (used by the
+    second-round subtree's last pass, whose single merged run becomes the
+    descending B side of the final cross-round pair). n must be a multiple
+    of 2*run and of TILE_E; one compile serves every pass size."""
+    n = hi.shape[0]
+    if n == 0:
+        return hi, lo
+    scal, _ = _alt_pass_scalars(hi, lo, run, parity)
+    return _call_alt_pass(scal, hi, lo, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("nA", "interpret"))
+def tree_merge_pair_alt(hi, lo, nA: int, interpret: bool = False):
+    """Compact streaming merge of ONE pair of UNEQUAL static-length runs:
+    A = [:nA] ascending, B = [nA:] stored DESCENDING. Fully ascending
+    output (both lengths TILE_E multiples)."""
+    scal, _ = _pair_alt_scalars(hi, lo, nA)
+    return _call_alt_pass(scal, hi, lo, interpret)

@@ -35,8 +35,16 @@ class CapacityError(ValueError):
     pass
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(x - 1, 0).bit_length()
+def _tile_round(x: int) -> int:
+    """Level-capacity rounding: the next TILE_E multiple once a run spans
+    tiles (the fused merge kernel's cost is linear in PADDED candidates, so
+    pow2 rounding cost ~10% extra merge volume at batch shapes), next pow2
+    below that (sub-tile capacities -- tests, tiny CPU runs -- keep their
+    exact overflow semantics; set_op_fused pads internally either way)."""
+    from zotpu.kernels.sort_pallas import TILE_E
+    if x <= TILE_E:
+        return 1 << max(x - 1, 0).bit_length()
+    return -(-x // TILE_E) * TILE_E
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -124,7 +132,10 @@ def _merge_fused_batched(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
 
 class DeviceAccumulator:
     def __init__(self, batch_capacity: int, max_cap: int = 1 << 26):
-        self.base_cap = _next_pow2(batch_capacity)
+        # TILE_E-rounded, not pow2 (round 4): level arrays feed the
+        # streaming fused merge whose cost is linear in PADDED candidates;
+        # pow2 rounding cost ~10% extra merge volume at batch shapes.
+        self.base_cap = _tile_round(batch_capacity)
         self.max_cap = max(max_cap, self.base_cap)
         self.overflow = jnp.zeros((), jnp.int32)
         # levels[i] = (hi, lo, cnt, n_device) at cap(i), or None
@@ -220,7 +231,7 @@ class ShardedAccumulator:
     def __init__(self, n_shards: int, batch_capacity: int,
                  max_cap: int = 1 << 26, mesh=None, interpret: bool = False):
         self.n_shards = n_shards
-        self.base_cap = _next_pow2(batch_capacity)
+        self.base_cap = _tile_round(batch_capacity)  # see DeviceAccumulator
         # max_cap is the GLOBAL unique-key capacity; each shard gets its slice
         self.max_cap = max(max_cap // n_shards, self.base_cap)
         # With a mesh, state arrays carry explicit shard-axis shardings so the
