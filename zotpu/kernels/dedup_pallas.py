@@ -233,8 +233,10 @@ def _make_dedup_compact_kernel(ntiles: int):
 
 def dedup_out_cap(n: int) -> int:
     """Output capacity (elements) of the dense dedup kernels for an
-    n-element input (n a TILE_E multiple): n + append slack rows."""
-    return n + (OUT_R + 8) * LANES
+    n-element input (n a TILE_E multiple): n + append slack, rounded so
+    the output is itself a TILE_E multiple (round 4: batch runs then enter
+    the accumulator's TILE-rounded level 0 with NO repadding copy)."""
+    return n + 2 * TILE_E
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -257,7 +259,7 @@ def dedup_compact_pallas(hi, lo, interpret: bool = False):
     scal = jnp.stack([jax.lax.bitcast_convert_type(nxt_hi, jnp.int32),
                       jax.lax.bitcast_convert_type(nxt_lo, jnp.int32)])
 
-    cap_rows = n // LANES + OUT_R + 8
+    cap_rows = dedup_out_cap(n) // LANES
     prefill_k = jnp.full((cap_rows, LANES), jnp.uint32(SENT))
     prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
 
@@ -358,7 +360,7 @@ def _call_merged_dedup(scal, hi, lo, ntiles, interpret):
     n = hi.shape[0]
     chans = [_pad_chan_front(hi, jnp.uint32(SENT)),
              _pad_chan_front(lo, jnp.uint32(SENT))]
-    cap_rows = n // LANES + OUT_R + 8
+    cap_rows = dedup_out_cap(n) // LANES
     prefill_k = jnp.full((cap_rows, LANES), jnp.uint32(SENT))
     prefill_c = jnp.zeros((cap_rows, LANES), jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -83,25 +83,39 @@ def _rot_right_const(v, r):
 
 
 def _rot_left_dyn(chans, rot):
-    """Dynamic flat rotate-left by rot in [0, 128)."""
-    for bit in (64, 32, 16, 8, 4, 2, 1):
-        chans = tuple(
-            jnp.where((rot & bit) != 0, _rot_left_const(c, bit), c)
-            for c in chans)
-    return chans
+    """Dynamic flat rotate-left by rot in [0, 128): w[i] = v[(i+rot) mod N].
+
+    Round 4: ONE dynamic lane roll per channel (pltpu.roll lowers a traced
+    shift to the VPU's dynamic rotate) + a constant row roll + one select,
+    replacing the old 7-stage conditional const-rotate cascade (~28 vector
+    ops -> ~5 per channel; the input-window rotations were ~1/3 of the
+    fused kernel's per-tile vector work)."""
+    s = jax.lax.rem(jnp.int32(LANES) - rot, jnp.int32(LANES))
+
+    def one(v):
+        vl = pltpu.roll(v, shift=s, axis=1)
+        vlu = pltpu.roll(vl, shift=v.shape[0] - 1, axis=0)
+        _, lane = _row_lane(v.shape)
+        return jnp.where(lane < LANES - rot, vl, vlu)
+
+    return tuple(one(c) for c in chans)
 
 
 def _rot_right_dyn(chans, rot):
-    """Dynamic flat rotate-right by rot in [0, 256]: one conditional row
-    roll (the 128 bit) + lane-level const rotations."""
-    chans = tuple(
-        jnp.where((rot & 128) != 0, pltpu.roll(c, shift=1, axis=0), c)
-        for c in chans)
-    for bit in (64, 32, 16, 8, 4, 2, 1):
-        chans = tuple(
-            jnp.where((rot & bit) != 0, _rot_right_const(c, bit), c)
-            for c in chans)
-    return chans
+    """Dynamic flat rotate-right by rot in [0, 128]: one conditional row
+    roll (the 128 case) + ONE dynamic lane roll + a constant row roll +
+    one select per channel (see _rot_left_dyn)."""
+    row128 = (rot & 128) != 0
+    r = rot & 127
+
+    def one(v):
+        v = jnp.where(row128, pltpu.roll(v, shift=1, axis=0), v)
+        vr = pltpu.roll(v, shift=r, axis=1)
+        vrd = pltpu.roll(vr, shift=1, axis=0)
+        _, lane = _row_lane(v.shape)
+        return jnp.where(lane >= r, vr, vrd)
+
+    return tuple(one(c) for c in chans)
 
 
 def _shift_right_flat(v, s, fill):

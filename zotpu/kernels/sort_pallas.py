@@ -183,11 +183,20 @@ def _flat_rot_const(v, r):
 
 
 def _flat_rot_dyn(v, rot):
-    """Dynamic flat rotation by rot in [0, 128): 7 conditional const-rotates."""
-    for bit in (64, 32, 16, 8, 4, 2, 1):
-        v = jax.tree_util.tree_map(
-            lambda x: jnp.where((rot & bit) != 0, _flat_rot_const(x, bit), x), v)
-    return v
+    """Dynamic flat rotation by rot in [0, 128): w[i] = v[i + rot].
+
+    Round 4: one dynamic lane roll (pltpu.roll takes a traced shift) + a
+    constant row roll + one select per channel, replacing the 7-stage
+    conditional const-rotate cascade."""
+    s = jax.lax.rem(jnp.int32(LANES) - rot, jnp.int32(LANES))
+
+    def one(x):
+        vl = pltpu.roll(x, shift=s, axis=1)
+        vlu = pltpu.roll(vl, shift=x.shape[0] - 1, axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(lane < LANES - rot, vl, vlu)
+
+    return jax.tree_util.tree_map(one, v)
 
 
 def _merged_tile(scal_ref, ins, wins, sems, nch, num_keys):

@@ -67,23 +67,35 @@ def _merge_fused(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
     return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
-def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
+@functools.partial(jax.jit, static_argnames=("out_cap", "trunc"))
+def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int,
+                    trunc: bool = True):
     """_merge_fused via the FUSED Pallas merge+combine+compact kernel --
     DENSE operands only (every set_op output is dense, so levels >= 1
-    qualify)."""
+    qualify). ``trunc=False`` (round 4) keeps the kernel's natural output
+    length -- a [:out_cap] slice is a full-array XLA copy (~3-10 ms at
+    batch shapes) bought only for shape hygiene; the accumulator keeps
+    per-level shapes deterministic without it and truncates ONLY when the
+    semantic capacity is clamped by max_cap (HBM bound). ``out_cap``
+    stays the OVERFLOW threshold either way."""
     from zotpu.kernels.merge_fused import set_op_fused
     hi, lo, cnt, n = set_op_fused(ahi, alo, ac, bhi, blo, bc, op="merge")
     ov = jnp.maximum(ov, n - out_cap)
-    return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
+    if trunc:
+        return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
+    return hi, lo, cnt, n, ov
 
 
-def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool):
+def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool,
+                              trunc: bool = True):
     """Per-shard streaming fused merge over (D, cap) sharded level arrays:
     shard_map of kernels/merge_fused.set_op_fused -- each shard merges its
     own key range in ONE Pallas pass (8.4 GB/s) instead of the vmapped
     4-operand re-sort. DENSE operands only (the round-3 dense dedup step
-    output and every merge output qualify)."""
+    output and every merge output qualify). ``trunc=False`` keeps the
+    kernel's natural output length (see _merge_fused_mp): the slice/pad to
+    out_cap is a full-array copy bought only for shape hygiene, skipped
+    until the semantic capacity is clamped by max_cap."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -96,15 +108,16 @@ def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool):
         hi, lo, cnt, n = set_op_fused(ahi[0], alo[0], ac[0],
                                       bhi[0], blo[0], bc[0], op="merge",
                                       interpret=interpret)
-        m = hi.shape[0]
-        if m >= out_cap:
-            hi, lo, cnt = hi[:out_cap], lo[:out_cap], cnt[:out_cap]
-        else:
-            padk = jnp.full(out_cap - m, SENTX, jnp.uint32)
-            padc = jnp.zeros(out_cap - m, jnp.uint32)
-            hi = jnp.concatenate([hi, padk])
-            lo = jnp.concatenate([lo, padk])
-            cnt = jnp.concatenate([cnt, padc])
+        if trunc:
+            m = hi.shape[0]
+            if m >= out_cap:
+                hi, lo, cnt = hi[:out_cap], lo[:out_cap], cnt[:out_cap]
+            else:
+                padk = jnp.full(out_cap - m, SENTX, jnp.uint32)
+                padc = jnp.zeros(out_cap - m, jnp.uint32)
+                hi = jnp.concatenate([hi, padk])
+                lo = jnp.concatenate([lo, padk])
+                cnt = jnp.concatenate([cnt, padc])
         ov = jnp.maximum(ov, n - out_cap)
         return (hi[None], lo[None], cnt[None], n[None].astype(jnp.int32),
                 ov)
@@ -177,15 +190,21 @@ class DeviceAccumulator:
         """Merge two entries (hi, lo, cnt, n, dense). Level-0 entries are
         sentinel-MARKED (not dense) and take the sort-based set_op; dense
         operands (every merge output) take the merge-path Pallas front-end on
-        TPU -- one streaming bitonic-merge pass instead of a full re-sort."""
+        TPU -- one streaming bitonic-merge pass instead of a full re-sort.
+        The fused path truncates the output array only when out_cap is
+        clamped by max_cap (the HBM bound); below that, level shapes stay
+        deterministic without the [:out_cap] copy and out_cap is just the
+        deferred-overflow threshold."""
         from zotpu.kernels.setops_merge import use_merge_path
         both_dense = a[4] and b[4]
-        fn = (_merge_fused_mp
-              if both_dense and use_merge_path(a[0].shape[0], b[0].shape[0])
-              else _merge_fused)
-        hi, lo, cnt, n, self.overflow = fn(
-            a[0], a[1], a[2], b[0], b[1], b[2], self.overflow,
-            out_cap=out_cap)
+        if both_dense and use_merge_path(a[0].shape[0], b[0].shape[0]):
+            hi, lo, cnt, n, self.overflow = _merge_fused_mp(
+                a[0], a[1], a[2], b[0], b[1], b[2], self.overflow,
+                out_cap=out_cap, trunc=out_cap >= self.max_cap)
+        else:
+            hi, lo, cnt, n, self.overflow = _merge_fused(
+                a[0], a[1], a[2], b[0], b[1], b[2], self.overflow,
+                out_cap=out_cap)
         return hi, lo, cnt, n, True
 
     def result(self) -> tuple[np.ndarray, np.ndarray]:
@@ -296,11 +315,12 @@ class ShardedAccumulator:
         both_dense = a[4] and b[4]
         if both_dense and self.mesh is not None and (use_pallas()
                                                      or self.interpret):
-            key = (a[0].shape[1], b[0].shape[1], out_cap)
+            trunc = out_cap >= self.max_cap
+            key = (a[0].shape[1], b[0].shape[1], out_cap, trunc)
             fn = self._fused_cache.get(key)
             if fn is None:
                 fn = _make_sharded_fused_merge(self.mesh, out_cap,
-                                               self.interpret)
+                                               self.interpret, trunc=trunc)
                 self._fused_cache[key] = fn
             hi, lo, cnt, n, self.overflow = fn(
                 a[0], a[1], a[2], b[0], b[1], b[2], self.overflow)
