@@ -12,8 +12,13 @@ already-measured number):
   clamped to the remaining budget.
 - SIGTERM/SIGALRM handlers flush the ordered block + headline before
   exiting, so a parent-level ``timeout`` still yields a parsed artifact.
-- The headline-feeding workloads (kmerize -> shard-model) run FIRST;
-  everything after them only adds secondary lines.
+- The headline feeder (shard-model, which internally measures the plain
+  chip step, the sharded step, the receive tree, and the sustained/
+  accumulator term) runs FIRST as ONE child that streams a partial result
+  after each stage; a child timeout harvests the last partial, and
+  children get SIGTERM + grace instead of SIGKILL (a hard kill mid-TPU-
+  program can wedge the shared chip). Everything after it only adds
+  secondary lines.
 - ``zotpu selftest`` gates the run (VERDICT round 3 item 6): an explicit
   check failure aborts with rc=1 and a record saying why (silicon
   corruption must not produce a "passing" perf artifact); a gate TIMEOUT
@@ -102,14 +107,41 @@ def _on_signal(signum, frame):
     os._exit(0)
 
 
+def _run_child(code: str, timeout_s: int):
+    """Run child source; return (stdout, returncode, timed_out).
+
+    On timeout the child gets SIGTERM + a short grace before SIGKILL: a
+    hard kill mid-TPU-program can wedge the shared chip for MINUTES of
+    FailedPrecondition/hangs on subsequent processes (observed round 4),
+    and the grace also lets a progress-streaming child flush its last
+    partial line.
+    """
+    p = subprocess.Popen([sys.executable, "-u", "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    try:
+        so, se = p.communicate(timeout=timeout_s)
+        return so, p.returncode, False, se
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            so, se = p.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            so, se = p.communicate()
+        return so or "", p.returncode, True, se or ""
+
+
 def run_workload(label: str, body: str, timeout_s: int):
     """Run one bench workload in a child process; return its result dict.
 
     ``body`` is python source computing a dict ``r``; the child prints it
-    behind MARKER. Returns None on timeout/crash/insufficient budget
-    (logged, never raised -- a failed secondary metric must not eat the
-    rest of the artifact). The child timeout is clamped to the remaining
-    global budget.
+    behind MARKER. Long workloads may print PARTIAL results behind the
+    same MARKER as stages complete (harness progress callbacks); the LAST
+    marker line wins, so a timeout harvests every stage that finished.
+    Returns None on crash/insufficient budget with no marker line (logged,
+    never raised -- a failed secondary metric must not eat the rest of the
+    artifact). The child timeout is clamped to the remaining global budget.
     """
     rem = _remaining()
     if rem < 45:
@@ -118,26 +150,32 @@ def run_workload(label: str, body: str, timeout_s: int):
     timeout_s = max(30, min(timeout_s, int(rem - 20)))
     code = (
         "import json\n"
+        "import signal, sys\n"
+        "signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))\n"
         "from zotpu import runtime\n"
         "runtime.setup()\n"
         "import jax\n"
         "from zotpu.bench import harness\n"
+        f"def _partial(d):\n"
+        f"    d['device'] = str(jax.devices()[0])\n"
+        f"    print({MARKER!r} + json.dumps(d), flush=True)\n"
         + body +
         f"\nr['device'] = str(jax.devices()[0])\n"
         f"print({MARKER!r} + json.dumps(r), flush=True)\n"
     )
-    try:
-        p = subprocess.run([sys.executable, "-u", "-c", code],
-                           capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        _log(f"{label}: timed out after {timeout_s}s; skipped")
-        return None
-    for line in p.stdout.splitlines():
+    so, rc, timed_out, se = _run_child(code, timeout_s)
+    result = None
+    for line in so.splitlines():
         if line.startswith(MARKER):
-            return json.loads(line[len(MARKER):])
-    tail = (p.stderr or "").strip().splitlines()[-3:]
-    _log(f"{label}: no result (rc={p.returncode}); stderr tail: {tail}")
-    return None
+            result = json.loads(line[len(MARKER):])
+    if timed_out:
+        _log(f"{label}: timed out after {timeout_s}s"
+             + ("; using last partial result" if result else "; skipped"))
+        return result
+    if result is None:
+        tail = se.strip().splitlines()[-3:]
+        _log(f"{label}: no result (rc={rc}); stderr tail: {tail}")
+    return result
 
 
 def run_gate() -> bool:
@@ -148,29 +186,42 @@ def run_gate() -> bool:
     if os.environ.get("ZOTPU_BENCH_GATE", "1") == "0":
         _log("gate: disabled via ZOTPU_BENCH_GATE=0")
         return True
-    tmo = max(60, min(int(os.environ.get("ZOTPU_BENCH_GATE_TIMEOUT", 480)),
-                      int(_remaining() / 3)))
-    _log(f"gate: zotpu selftest (timeout {tmo}s)")
-    code = ("from zotpu import runtime\n"
+    # cap at a QUARTER of the remaining budget: on a slow-tunnel day even a
+    # warm selftest can overrun, and the budget it eats comes straight out
+    # of the headline workload's share (round-4 rehearsal: a 289 s gate
+    # timeout left the shard-model child too little to finish)
+    tmo = max(60, min(int(os.environ.get("ZOTPU_BENCH_GATE_TIMEOUT", 300)),
+                      int(_remaining() / 4)))
+    _log(f"gate: zotpu selftest (budget {tmo}s)")
+    # The selftest gets tmo as an IN-PROCESS budget: it skips remaining
+    # checks and exits CLEANLY between device ops when over (partial pass).
+    # The subprocess timeout is only a backstop, with slack for a check
+    # already in flight -- killing the child mid-TPU-op can wedge the
+    # shared chip for minutes (observed round 4) and starve the headline.
+    code = ("import os, signal, sys\n"
+            "signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))\n"
+            f"os.environ['ZOTPU_SELFTEST_BUDGET'] = '{max(tmo - 30, 30)}'\n"
+            "from zotpu import runtime\n"
             "runtime.setup()\n"
             "from zotpu.selftest import run_selftest\n"
-            "import sys\n"
             "sys.exit(run_selftest())\n")
     t0 = time.monotonic()
-    try:
-        p = subprocess.run([sys.executable, "-u", "-c", code],
-                           capture_output=True, text=True, timeout=tmo)
-    except subprocess.TimeoutExpired:
-        _log(f"gate: selftest timed out after {tmo}s (tunnel weather); "
-             "proceeding without the gate")
-        return True
+    so, rc, timed_out, _se = _run_child(code, tmo + 120)
     dt = time.monotonic() - t0
-    if p.returncode == 0:
-        _log(f"gate: selftest ok in {dt:.0f}s")
+    if timed_out:
+        _log(f"gate: selftest timed out after {tmo + 120}s (tunnel "
+             "weather); proceeding without the gate")
         return True
-    failed = [ln for ln in p.stdout.splitlines()
+    if rc == 0:
+        partial = any("selftest_budget_exceeded" in ln
+                      for ln in so.splitlines())
+        _log(f"gate: selftest ok in {dt:.0f}s"
+             + (" (partial -- budget hit, every run check passed)"
+                if partial else ""))
+        return True
+    failed = [ln for ln in so.splitlines()
               if '"ok": false' in ln or '"ok": False' in ln]
-    _log(f"gate: selftest FAILED (rc={p.returncode}) in {dt:.0f}s")
+    _log(f"gate: selftest FAILED (rc={rc}) in {dt:.0f}s")
     _stream({
         "metric": "selftest_failed",
         "value": 0,
@@ -196,48 +247,56 @@ def main():
         _final_block()
         sys.exit(1)
 
-    # --- headline feeders first (VERDICT round 3 item 1) ---
-    _log(f"kmerize {total_bases} bases k={k}")
-    r = run_workload("kmerize", f"r = harness.bench_kmerize({total_bases}, "
-                     f"k={k}, read_len=256, repeats=3)", tmo)
-    if r:
-        _log(f"kmerize {r['seconds']:.3f}s on {r['device']}")
+    # --- the headline feeder runs FIRST, as ONE child (round 4): ---
+    # bench_shard_model measures the plain chip step, the D=1 sharded step,
+    # the D=8 receive tree, AND the sustained/accumulator term in one
+    # process (one set of warmups, no re-measuring kmerize/sustained in
+    # separate children), streaming a partial result after each stage so a
+    # timeout harvests whatever finished.
+    #
+    # HEADLINE (the driver parses the LAST stdout line): BASELINE's kmerize
+    # target is per HOST; a v5e host has 8 chips and this rig exposes 1.
+    # Every model term is measured on this chip -- the FULL sharded program
+    # at D=1 (pack, owner sort, bucket fill, route; dedup rides the tree
+    # since round 3), the D=8 receive-side merge tree with the fused
+    # dedup-compact final pass, AND the amortized per-batch LSM accumulator
+    # merges at D=8 shard shapes (VERDICT round 3 item 3) -- times 8 chips
+    # at a conservative 0.8 weak-scaling floor (the same model says 0.8
+    # needs only ~5 GB/s/chip of ICI, far under v5e ICI, so the floor is
+    # pessimistic).
+    _log(f"shard-model (plain step + D=1 sharded step + D=8 tree + "
+         f"sustained) {total_bases} bases k={k}")
+    sm = run_workload("shard-model", f"r = harness.bench_shard_model("
+                      f"total_bases={total_bases}, k={k}, repeats=3, "
+                      f"progress=_partial)",
+                      int(os.environ.get("ZOTPU_BENCH_HEADLINE_TIMEOUT",
+                                         600)))
+    chip_rate = None
+    if sm and "plain_bases_per_s" in sm:
+        chip_rate = sm["plain_bases_per_s"]
+        _log(f"plain step {sm['t_plain_s']:.3f}s on {sm['device']}")
         _stream({
             "metric": "kmerize_bases_per_s_chip",
-            "value": r["bases_per_s"],
+            "value": chip_rate,
             "unit": ("bases/s/chip (single-chip device step, dispatch-"
                      "amortized: slope of N-dispatch/1-fence timing -- the "
                      "production pipeline dispatches async and syncs once "
                      "per RUN, so the ~20-25 ms tunnel sync latency is not "
                      "a per-batch cost; single-sync time in "
-                     "seconds_single_sync. BASELINE's 1 Gbase/s target is "
-                     "per HOST = 8 of these chips -- the headline line "
-                     "carries that comparison)"),
-            "vs_baseline": r["bases_per_s"] / 1e9,
+                     "plain_seconds_single_sync. BASELINE's 1 Gbase/s "
+                     "target is per HOST = 8 of these chips -- the "
+                     "headline line carries that comparison)"),
+            "vs_baseline": chip_rate / 1e9,
         })
-        # provisional headline so a kill during shard-model still parses
+        # provisional headline in case the model terms didn't finish
         _set_headline({
             "metric": "kmerize_bases_per_s_host",
-            "value": r["bases_per_s"] * 8 * 0.8,
+            "value": chip_rate * 8 * 0.8,
             "unit": ("bases/s/host vs the 1e9 BASELINE north star "
                      "(fallback: 1-chip rate x 8 chips x 0.8 scaling)"),
-            "per_chip_bases_per_s": r["bases_per_s"],
-            "vs_baseline": r["bases_per_s"] * 8 * 0.8 / 1e9,
+            "per_chip_bases_per_s": chip_rate,
+            "vs_baseline": chip_rate * 8 * 0.8 / 1e9,
         })
-
-    # HEADLINE (the driver parses the LAST stdout line): BASELINE's kmerize
-    # target is per HOST; a v5e host has 8 chips and this rig exposes 1.
-    # The projection comes from the shard-model workload: every term is
-    # measured on this chip -- the FULL sharded program at D=1 (pack, owner
-    # sort, bucket fill, route; dedup rides the tree since round 3), the
-    # D=8 receive-side merge tree with the fused dedup-compact final pass,
-    # AND the amortized per-batch LSM accumulator merges at D=8 shard
-    # shapes (VERDICT round 3 item 3) -- times 8 chips at a conservative
-    # 0.8 weak-scaling floor (the same model says 0.8 needs only ~4
-    # GB/s/chip of ICI, far under v5e ICI, so the floor is pessimistic).
-    _log("shard-model...")
-    sm = run_workload("shard-model", f"r = harness.bench_shard_model("
-                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
     if sm and "host8_bases_per_s_at_0.8_eff" in sm:
         acc_note = ""
         if "t_acc_amortized8_s" in sm:
@@ -252,25 +311,21 @@ def main():
                      ", 0.8 efficiency floor; needs "
                      f"{sm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip "
                      "ICI)"),
-            "per_chip_bases_per_s": r["bases_per_s"] if r else None,
+            "per_chip_bases_per_s": chip_rate,
             "vs_baseline": sm["host8_bases_per_s_at_0.8_eff"] / 1e9,
         })
-
-    # Sustained single-chip rate: step + ALL LSM accumulator merging over 8
-    # batches (the step-only line excludes amortized merging; round 3's
-    # dense dedup + fused streaming level merges are what make these close)
-    _log("sustained...")
-    su = run_workload("sustained", f"r = harness.bench_sustained("
-                      f"total_bases={total_bases}, k={k})", tmo)
-    if su:
+    if sm and "sustained_bases_per_s" in sm:
+        # Sustained single-chip rate: step + ALL LSM accumulator merging
+        # (the step-only line excludes amortized merging; round 3's dense
+        # dedup + fused streaming level merges are what make these close)
         _stream({
             "metric": "kmerize_sustained_bases_per_s_chip",
-            "value": su["bases_per_s"],
-            "unit": (f"bases/s/chip SUSTAINED over {su['batches']} batches "
-                     "incl. every LSM accumulator merge (dense dedup-compact "
-                     "step output + fused streaming level merges; transfers "
+            "value": sm["sustained_bases_per_s"],
+            "unit": ("bases/s/chip SUSTAINED over 8 batches incl. every "
+                     "LSM accumulator merge (dense dedup-compact step "
+                     "output + fused streaming level merges; transfers "
                      "excluded)"),
-            "vs_baseline": su["bases_per_s"] / 1e9,
+            "vs_baseline": sm["sustained_bases_per_s"] / 1e9,
         })
 
     # --- secondary lines ---

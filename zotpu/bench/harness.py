@@ -268,7 +268,8 @@ def bench_scaling(reads_per_chip: int = 512, read_len: int = 256, k: int = 25,
 
 
 def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
-                      read_len: int = 256, repeats: int = 3) -> dict:
+                      read_len: int = 256, repeats: int = 3,
+                      progress=None) -> dict:
     """Measured grounding for the multi-chip projection (BASELINE metric 3).
 
     This rig exposes ONE chip, and an 8-fake-device CPU mesh measures host
@@ -285,6 +286,13 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
       follows: t_comm <= t_shard1/4 (efficiency = t/(t+t_comm)).
 
     Reported as a model with measured inputs, NOT as a measured efficiency.
+
+    ``progress``, if given, is called with a COPY of the result dict after
+    each measured stage (plain step -> sharded step -> receive tree ->
+    accumulator): bench.py streams these behind its MARKER so a parent
+    timeout still harvests every stage that finished (round 4 -- the
+    round-3 artifact died with zero lines when one slow stage timed the
+    whole child out).
     """
     from zotpu.dist import mesh as M
     from zotpu.dist import shuffle
@@ -295,18 +303,50 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
     codes = _synth_codes(rng, reads, read_len)
     lengths = jnp.asarray(np.full(reads, read_len, np.int32))
     mesh = M.make_mesh(1)
-    # the per-chip cost at D >= 2 is (pack + owner sort + bucket fill +
-    # route) + (receive tree with the FUSED dedup-mark last pass): since
-    # round 3 dedup rides the tree, so the D=1 step term is measured with
-    # dedup skipped (_bench_no_dedup) and the tree term with dedup fused
+    kmers = reads * (read_len - k + 1)
+    bytes_each_way = kmers * 8           # (hi, lo) u32 pair per k-mer
+    out = {"workload": "kmerize_shard_model", "k": k,
+           "bases": reads * read_len, "kmers": kmers,
+           "alltoall_bytes_per_chip": bytes_each_way}
+
+    def emit():
+        if progress is not None:
+            progress(dict(out))
+
+    def compose():
+        """(Re)compute the composed 8-chip model from whichever terms are
+        measured so far; every partial carries the best model available."""
+        if "t_receive_tree8_fused_dedup_s" not in out:
+            out["ici_gbps_needed_for_0.8_eff"] = (
+                bytes_each_way / (out["t_step_nodedup_s"] / 4) / 1e9)
+            return
+        t8 = (out["t_step_nodedup_s"] + out["t_receive_tree8_fused_dedup_s"]
+              + out.get("t_acc_amortized8_s", 0.0))
+        out["t_chip_model8_s"] = t8
+        out["host8_bases_per_s_at_0.8_eff"] = reads * read_len / t8 * 8 * 0.8
+        out["ici_gbps_needed_for_0.8_eff"] = bytes_each_way / (t8 / 4) / 1e9
+
+    # stage 1: the plain single-chip step (feeds the fallback headline)
+    plain = bench_kmerize(total_bases, k=k, read_len=read_len,
+                          repeats=repeats)
+    out["t_plain_s"] = plain["seconds"]
+    out["plain_bases_per_s"] = plain["bases_per_s"]
+    out["plain_seconds_single_sync"] = plain["seconds_single_sync"]
+    emit()
+
+    # stage 2: the FULL sharded program at D=1. The per-chip cost at D >= 2
+    # is (pack + owner sort + bucket fill + route) + (receive tree with the
+    # FUSED dedup-compact last pass): since round 3 dedup rides the tree,
+    # so the D=1 step term is measured with dedup skipped (_bench_no_dedup)
+    # and the tree term with dedup fused
     step, _ = shuffle.make_kmerize_step(mesh, k, reads, read_len,
                                         capacity_factor=1.03, compact=False,
                                         wire=True, _bench_no_dedup=True)
     pw, mw = wire.pack_codes(codes)
     pw, mw = jnp.asarray(pw), jnp.asarray(mw)
 
-    def fence(out):
-        return int(np.asarray(out[3]).sum()) + int(np.asarray(out[4]).sum())
+    def fence(o):
+        return int(np.asarray(o[3]).sum()) + int(np.asarray(o[4]).sum())
 
     def timeit(fn, *args):
         fn(*args)  # compile + warmup
@@ -320,16 +360,17 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
     fence(step(pw, mw, lengths))  # compile + warmup
     t_step, t_step_sync = _amortized_time(
         lambda: step(pw, mw, lengths), fence, repeats=repeats)
-    plain = bench_kmerize(total_bases, k=k, read_len=read_len,
-                          repeats=repeats)
-    kmers = reads * (read_len - k + 1)
+    out["t_step_nodedup_s"] = t_step
+    out["sharded_step_overhead"] = t_step / plain["seconds"]
+    out["sharded_bases_per_s"] = reads * read_len / t_step
+    compose()
+    emit()
 
-    # Receive-side merge tree WITH the fused dedup-mark final pass at D=8
-    # shapes, measured on THIS chip (it is per-device code): 8 interleaved-
-    # range key-sorted runs -> one marked (uhi, ulo, counts) run
+    # stage 3: receive-side merge tree WITH the fused dedup-compact final
+    # pass at D=8 shapes, measured on THIS chip (it is per-device code): 8
+    # interleaved-range key-sorted runs -> one dense (uhi, ulo, counts) run
     # (dist/shuffle.merge_received_runs(dedup=True), what each of 8 shards
     # runs per batch after the all_to_all).
-    t_tree8 = None
     try:
         from zotpu.dist.shuffle import merge_received_runs
         from zotpu.kernels.dispatch import pack_canonical_wire, use_pallas
@@ -376,56 +417,35 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
                 return int(np.asarray(front(pw, mw, l)))
 
             tf = timeit(front_fence, pw, mw, lengths)
-            t_tree8 = max(tt - tf, 0.0)
+            # composed 8-chip weak-scaling model, every term measured on
+            # this chip: per-chip step = D=1 sharded step (pack + owner
+            # sort + bucket fill + route, dedup excluded) + the D=8 receive
+            # merge tree with the fused dedup-compact final pass + the
+            # amortized per-batch LSM accumulator merges; comm budget for
+            # 0.8 efficiency = a quarter
+            out["t_receive_tree8_fused_dedup_s"] = max(tt - tf, 0.0)
+            compose()
+            emit()
     except Exception:
         pass  # the model still reports the measured D=1 terms
 
-    # Amortized per-batch LSM accumulator cost at the model's shapes
-    # (VERDICT round 3 item 3): each shard accumulates one dense run of
-    # ~kmers entries per host batch (its 1/8 share of the 8-chip batch) --
-    # exactly bench_sustained's per-batch load. The amortized merge term is
-    # sustained per-batch MINUS the bare step both runs share.
-    t_acc8 = None
-    su = None
+    # stage 4: amortized per-batch LSM accumulator cost at the model's
+    # shapes (VERDICT round 3 item 3): each shard accumulates one dense run
+    # of ~kmers entries per host batch (its 1/8 share of the 8-chip batch)
+    # -- exactly bench_sustained's per-batch load. The amortized merge term
+    # is sustained per-batch MINUS the bare step both runs share.
     try:
         from zotpu.kernels.dispatch import use_pallas as _up
         if _up():
             su = bench_sustained(total_bases=total_bases, k=k,
                                  read_len=read_len)
-            t_acc8 = max(su["per_batch_s"] - plain["seconds"], 0.0)
+            out["sustained_per_batch_s"] = su["per_batch_s"]
+            out["sustained_bases_per_s"] = su["bases_per_s"]
+            out["t_acc_amortized8_s"] = max(
+                su["per_batch_s"] - plain["seconds"], 0.0)
+            compose()
     except Exception:
         pass
-
-    bytes_each_way = kmers * 8           # (hi, lo) u32 pair per k-mer
-    out = {
-        "workload": "kmerize_shard_model", "k": k, "bases": reads * read_len,
-        "kmers": kmers,
-        "t_plain_s": plain["seconds"],
-        "plain_bases_per_s": plain["bases_per_s"],
-        "t_step_nodedup_s": t_step,
-        "sharded_step_overhead": t_step / plain["seconds"],
-        "sharded_bases_per_s": reads * read_len / t_step,
-        "alltoall_bytes_per_chip": bytes_each_way,
-    }
-    if su is not None:
-        out["sustained_per_batch_s"] = su["per_batch_s"]
-        out["sustained_bases_per_s"] = su["bases_per_s"]
-    if t_tree8 is not None:
-        # composed 8-chip weak-scaling model, every term measured on this
-        # chip: per-chip step = D=1 sharded step (pack + owner sort + bucket
-        # fill + route, dedup excluded) + the D=8 receive merge tree with
-        # the fused dedup-compact final pass + the amortized per-batch LSM
-        # accumulator merges; comm budget for 0.8 efficiency = a quarter
-        t8 = t_step + t_tree8 + (t_acc8 or 0.0)
-        out["t_receive_tree8_fused_dedup_s"] = t_tree8
-        if t_acc8 is not None:
-            out["t_acc_amortized8_s"] = t_acc8
-        out["t_chip_model8_s"] = t8
-        out["host8_bases_per_s_at_0.8_eff"] = reads * read_len / t8 * 8 * 0.8
-        out["ici_gbps_needed_for_0.8_eff"] = bytes_each_way / (t8 / 4) / 1e9
-    else:
-        out["ici_gbps_needed_for_0.8_eff"] = (
-            bytes_each_way / (t_step / 4) / 1e9)
     return out
 
 

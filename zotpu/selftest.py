@@ -42,8 +42,21 @@ def _mk_reads(rng, genome: str, n: int, length: int, frac_genomic: float,
     return reads
 
 
-def run_selftest(k: int = 25, verbose_print=print) -> int:
-    """Returns 0 when every check is byte-equal, 1 otherwise."""
+def run_selftest(k: int = 25, verbose_print=print,
+                 budget_s: float | None = None) -> int:
+    """Returns 0 when every check that RAN is byte-equal, 1 otherwise.
+
+    ``budget_s`` (or env ``ZOTPU_SELFTEST_BUDGET``, seconds) makes the run
+    deadline-aware: once elapsed time exceeds the budget, remaining checks
+    are skipped and the summary says ``partial: true`` (round 4). The
+    caller that needs this is bench.py's gate: without it a slow-tunnel
+    selftest gets SIGKILLed MID-DEVICE-OP, which can wedge the shared chip
+    for many minutes of FailedPrecondition/hangs on every subsequent
+    process -- a clean between-checks exit never touches the chip mid-op.
+    A partial run with zero failures still gates as a pass (no
+    byte-inequality was observed)."""
+    import os
+
     import jax
 
     from zotpu.workloads import kmerize as WK
@@ -51,22 +64,37 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
     from zotpu.workloads import setops as WS
     from zotpu.workloads import spectrum as WSp
 
+    if budget_s is None:
+        budget_s = float(os.environ.get("ZOTPU_SELFTEST_BUDGET", 0)) or None
+
     checks: list[tuple[str, bool, str]] = []
     t_start = time.perf_counter()
+
+    def over_budget() -> bool:
+        return (budget_s is not None
+                and time.perf_counter() - t_start > budget_s)
 
     def check(name: str, ok: bool, detail: str = ""):
         checks.append((name, bool(ok), detail))
         verbose_print(json.dumps({"check": name, "ok": bool(ok),
                                   **({"detail": detail} if detail else {})}))
 
+    class _OverBudget(Exception):
+        pass
+
+    def guard():
+        if over_budget():
+            raise _OverBudget
+
     rng = np.random.default_rng(20260819)
     genome = "".join(rng.choice(list("ACGT"), size=20000))
     reads_a = _mk_reads(rng, genome, 600, 128, 0.7)
     reads_b = _mk_reads(rng, genome, 500, 128, 0.5)
 
-    import os
     import tempfile
-    with tempfile.TemporaryDirectory() as d:
+    partial = False
+    try:
+      with tempfile.TemporaryDirectory() as d:
         fa = os.path.join(d, "a.fastq")
         fb = os.path.join(d, "b.fastq")
         for path, reads in ((fa, reads_a), (fb, reads_b)):
@@ -81,6 +109,7 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
         check("config1_kmerize",
               np.array_equal(keys_a, gk_a) and np.array_equal(cnt_a, gc_a),
               f"{len(gk_a)} unique")
+        guard()
 
         keys_b, cnt_b = WK.kmerize_paths([fb], k, batch_reads=256,
                                          max_len=128)
@@ -92,6 +121,7 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
         check("config2_merge",
               np.array_equal(mk, wk) and np.array_equal(mc, wc),
               f"{len(wk)} unique")
+        guard()
 
         # config 3: set algebra (fused merge kernel dispatch on TPU)
         ok3 = True
@@ -101,6 +131,7 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
             wk3, wc3 = gold((gk_a, gc_a), (gk_b, gc_b))
             ok3 &= np.array_equal(dk, wk3) and np.array_equal(dc, wc3)
         check("config3_setops", ok3)
+        guard()
 
         # config 4: spectrum + cutoff
         h_dev = WSp.spectrum(cnt_a, max_count=64)
@@ -109,6 +140,7 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
         check("config4_hist",
               np.array_equal(np.asarray(h_dev), np.asarray(h_gold))
               and fit["cutoff"] >= 1)
+        guard()
 
         # config 5: panel pulldown, incl. the sentinel-heavy probe regime
         # (short + N-laden reads -> many invalid windows; round 2.2's
@@ -129,11 +161,12 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
               np.array_equal(np.asarray(per, np.int64), want)
               and tot == int(want.sum()) and rwh == int((want > 0).sum()),
               f"{tot} hits / {rwh} reads")
+        guard()
 
-    # sharded step with the receive tree + fused dedup on ONE chip
-    # (force_second_round): gated-off AND taken overflow rounds
-    from zotpu.kernels.dispatch import use_pallas
-    if use_pallas():
+      # sharded step with the receive tree + fused dedup on ONE chip
+      # (force_second_round): gated-off AND taken overflow rounds
+      from zotpu.kernels.dispatch import use_pallas
+      if use_pallas():
         from zotpu.dist import mesh as M
         from zotpu.dist import shuffle
         from zotpu.io import wire
@@ -157,15 +190,23 @@ def run_selftest(k: int = 25, verbose_print=print) -> int:
             okd &= (np.array_equal(got, gk_a)
                     and np.array_equal(counts[:nn].astype(np.uint32), gc_a))
             check(f"sharded_fused_dedup_{label}", okd)
-    else:
+            guard()
+      else:
         verbose_print(json.dumps({
             "check": "sharded_fused_dedup", "skipped":
             "CPU backend (interpret-mode coverage lives in the test suite)"}))
+    except _OverBudget:
+        partial = True
+        verbose_print(json.dumps({
+            "selftest_budget_exceeded": budget_s,
+            "note": ("remaining checks skipped CLEANLY between device ops "
+                     "(no mid-op kill; every check that ran is reported)")}))
 
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     verbose_print(json.dumps({
         "command": "selftest", "device": str(jax.devices()[0]),
         "checks": len(checks), "failed": n_fail,
         "seconds": round(time.perf_counter() - t_start, 2),
+        **({"partial": True} if partial else {}),
         "ok": n_fail == 0}))
     return 0 if n_fail == 0 else 1
