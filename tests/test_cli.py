@@ -621,6 +621,21 @@ def test_selftest_cli(capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     summary = rows[-1]
     assert summary["ok"] is True and summary["failed"] == 0
+    assert "partial" not in summary
     names = {r.get("check") for r in rows if "check" in r}
     assert {"config1_kmerize", "config2_merge", "config3_setops",
             "config4_hist", "config5_scan"} <= names
+
+
+def test_selftest_budget_partial(capsys):
+    # an exhausted in-process budget (bench.py's gate sets
+    # ZOTPU_SELFTEST_BUDGET) skips remaining checks CLEANLY between device
+    # ops: the summary says partial, every check that ran is reported, and
+    # a zero-failure partial still returns 0 (gate pass)
+    from zotpu.selftest import run_selftest
+    assert run_selftest(k=15, budget_s=1e-9) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    summary = rows[-1]
+    assert summary["partial"] is True and summary["ok"] is True
+    assert summary["checks"] >= 1          # config1 always completes
+    assert any("selftest_budget_exceeded" in r for r in rows)
