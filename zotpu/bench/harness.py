@@ -28,10 +28,15 @@ def _amortized_time(dispatch, fence, repeats: int = 3, n: int = 4):
     single host sync costs ~10-20 ms that the production pipeline never
     pays per batch (dispatch is async; the accumulator's result() is the
     ONE sync of a whole run) -- charging it per batch understates
-    steady-state throughput. Returns (slope_s, single_sync_s)."""
-    def t_of(m):
+    steady-state throughput. Returns (slope_s, single_sync_s).
+
+    Slow-tunnel adaptation (round 4): when the first single-dispatch rep
+    takes seconds (tunnel weather inflates every host fence), extra
+    repeats buy noise reduction at MINUTES of wall cost and can time the
+    whole bench child out -- fall back to one rep per point."""
+    def t_of(m, reps):
         ts = []
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter()
             r = None
             for _ in range(m):
@@ -40,8 +45,11 @@ def _amortized_time(dispatch, fence, repeats: int = 3, n: int = 4):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1 = t_of(1)
-    tn = t_of(n)
+    t1 = t_of(1, 1)
+    reps = 1 if t1 > 2.0 else repeats
+    if reps > 1:
+        t1 = min(t1, t_of(1, reps - 1))
+    tn = t_of(n, reps)
     return max((tn - t1) / (n - 1), 1e-9), t1
 
 
@@ -355,6 +363,8 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
             t0 = time.perf_counter()
             fn(*args)
             times.append(time.perf_counter() - t0)
+            if times[-1] > 2.0:
+                break      # slow tunnel: see _amortized_time
         return min(times)
 
     fence(step(pw, mw, lengths))  # compile + warmup
@@ -561,6 +571,8 @@ def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
+        if times[-1] > batches * 0.5:
+            break      # slow tunnel: one rep (see _amortized_time)
     dt = min(times)
     bases = batches * reads * read_len
     return {
