@@ -98,6 +98,18 @@ def _final_block():
         print(json.dumps(rec), flush=True)
     if _headline is not None:
         print(json.dumps(_headline), flush=True)
+    else:
+        # The driver parses the LAST stdout line as the headline: without
+        # an explicit sentinel, a run whose headline child produced nothing
+        # would end on whatever secondary metric printed last and be
+        # silently misread as the kmerize host rate.
+        print(json.dumps({
+            "metric": "kmerize_bases_per_s_host", "value": 0,
+            "unit": ("NO MEASUREMENT: the headline workload produced no "
+                     "result (child crashed or timed out before its first "
+                     "stage partial; see bench stderr)"),
+            "vs_baseline": 0,
+        }), flush=True)
 
 
 def _on_signal(signum, frame):
@@ -328,27 +340,10 @@ def main():
             "vs_baseline": sm["sustained_bases_per_s"] / 1e9,
         })
 
-    # --- secondary lines ---
-    # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
-    # VERDICT round 2 item 7): the D=1 step with the overflow second round
-    # force-taken, and a per-chip-load sweep of the sharded step.
-    _log("shard-sensitivity...")
-    ss = run_workload("shard-sensitivity",
-                      f"r = harness.bench_shard_sensitivity("
-                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
-    if ss:
-        sweep = "; ".join(f"{row['bases'] >> 20} Mbase -> "
-                          f"{row['bases_per_s'] / 1e6:.0f} Mbase/s"
-                          for row in ss["load_sweep"])
-        _stream({
-            "metric": "kmerize_sharded_second_round_overhead",
-            "value": ss["second_round_overhead"],
-            "unit": ("x the gated-off step when the overflow round is "
-                     "force-taken at D=1 (skew-path upper bound); "
-                     f"per-chip-load sweep: {sweep}"),
-            "vs_baseline": 1.0,
-        })
-
+    # --- secondary lines, BASELINE metrics first (round 4: on a slow-
+    # tunnel day the budget runs out mid-secondaries, so the lines that
+    # map to BASELINE metrics -- setops GB/s, scan kmers/s -- must land
+    # before the sensitivity diagnostics) ---
     _log("setops...")
     # 16M keys/side: a small genome's unique-kmer set; below ~8M/side the
     # ~25 ms tunnel dispatch latency halves the reported rate
@@ -373,6 +368,26 @@ def main():
                      "docs/PERF_NOTES.md; scales across chips via "
                      "scan --shards)"),
             "vs_baseline": sc["kmers_per_s"] / 5e8,  # VERDICT target 0.5 G/s
+        })
+
+    # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
+    # VERDICT round 2 item 7): the D=1 step with the overflow second round
+    # force-taken, and a per-chip-load sweep of the sharded step.
+    _log("shard-sensitivity...")
+    ss = run_workload("shard-sensitivity",
+                      f"r = harness.bench_shard_sensitivity("
+                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
+    if ss:
+        sweep = "; ".join(f"{row['bases'] >> 20} Mbase -> "
+                          f"{row['bases_per_s'] / 1e6:.0f} Mbase/s"
+                          for row in ss["load_sweep"])
+        _stream({
+            "metric": "kmerize_sharded_second_round_overhead",
+            "value": ss["second_round_overhead"],
+            "unit": ("x the gated-off step when the overflow round is "
+                     "force-taken at D=1 (skew-path upper bound); "
+                     f"per-chip-load sweep: {sweep}"),
+            "vs_baseline": 1.0,
         })
 
     # NOTE: the old weak_scaling_efficiency line is gone (VERDICT round 2

@@ -12,9 +12,11 @@ import bench  # noqa: E402  (repo-root module)
 
 def test_run_child_sigterm_grace_captures_output():
     # a child that overruns gets SIGTERM + grace, and the stdout it already
-    # flushed is captured (not lost to a SIGKILL)
-    code = "import time\nprint('banked-line', flush=True)\ntime.sleep(30)\n"
-    so, rc, timed_out, _se = bench._run_child(code, timeout_s=2)
+    # flushed is captured (not lost to a SIGKILL). Child startup pays ~3 s
+    # of axon sitecustomize import, so the timeout must leave margin for
+    # the print to happen at all.
+    code = "import time\nprint('banked-line', flush=True)\ntime.sleep(60)\n"
+    so, rc, timed_out, _se = bench._run_child(code, timeout_s=10)
     assert timed_out is True
     assert "banked-line" in so
 

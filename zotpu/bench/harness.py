@@ -50,7 +50,14 @@ def _amortized_time(dispatch, fence, repeats: int = 3, n: int = 4):
     if reps > 1:
         t1 = min(t1, t_of(1, reps - 1))
     tn = t_of(n, reps)
-    return max((tn - t1) / (n - 1), 1e-9), t1
+    slope = (tn - t1) / (n - 1)
+    if slope <= 0:
+        # A transfer stall during the 1-dispatch point (single-rep slow-
+        # tunnel mode) can make tn < t1; clamping to ~0 would turn the
+        # HEADLINE into an absurd ~1e16 bases/s. Fall back to the full
+        # single-sync time: degraded (charges the sync per batch) but sane.
+        return t1, t1
+    return slope, t1
 
 
 def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,

@@ -185,18 +185,14 @@ def _flat_rot_const(v, r):
 def _flat_rot_dyn(v, rot):
     """Dynamic flat rotation by rot in [0, 128): w[i] = v[i + rot].
 
-    Round 4: one dynamic lane roll (pltpu.roll takes a traced shift) + a
-    constant row roll + one select per channel, replacing the 7-stage
-    conditional const-rotate cascade."""
-    s = jax.lax.rem(jnp.int32(LANES) - rot, jnp.int32(LANES))
-
-    def one(x):
-        vl = pltpu.roll(x, shift=s, axis=1)
-        vlu = pltpu.roll(vl, shift=x.shape[0] - 1, axis=0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        return jnp.where(lane < LANES - rot, vl, vlu)
-
-    return jax.tree_util.tree_map(one, v)
+    Delegates to merge_fused._rot_left_dyn -- the ONE home of the
+    single-dynamic-roll lowering (round 4), so a future Mosaic workaround
+    lands in every kernel family at once. Lazy import: merge_fused imports
+    this module at top level."""
+    from zotpu.kernels.merge_fused import _rot_left_dyn
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    return jax.tree_util.tree_unflatten(
+        treedef, _rot_left_dyn(tuple(leaves), rot))
 
 
 def _merged_tile(scal_ref, ins, wins, sems, nch, num_keys):
@@ -713,21 +709,25 @@ def _pad_chan_front(x, fill):
         jnp.full((LOAD_R, LANES), fill, x.dtype)])
 
 
-def _alt_partition(hi, lo, run, base, d):
+def _alt_partition(hi, lo, nA, base, d, nB=None):
     """a0 per tile for [A asc | B desc-stored] pairs at logical merged
     offset ``d`` (all vectors over tiles). A is stored forward at
-    [base, base+run); B fwd element j is stored[base + 2*run - 1 - j].
-    A-first-on-ties, like _merge_partition."""
+    [base, base+nA); B fwd element j is stored[base + nA + nB - 1 - j].
+    ``nB`` defaults to nA (the equal-run tree pass); the unequal static
+    pair (_pair_alt_scalars) passes its own. A-first-on-ties, like
+    _merge_partition."""
+    if nB is None:
+        nB = nA
     n = hi.shape[0]
-    lo_b = jnp.maximum(0, d - run)
-    hi_b = jnp.minimum(d, run)
+    lo_b = jnp.maximum(0, d - nB)
+    hi_b = jnp.minimum(d, nA)
 
     def a_le_b(a_idx, b_idx):
         ga = jnp.clip(base + a_idx, 0, n - 1)
-        gb = jnp.clip(base + 2 * run - 1 - b_idx, 0, n - 1)
+        gb = jnp.clip(base + nA + nB - 1 - b_idx, 0, n - 1)
         le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
         le = jnp.where(a_idx < 0, True, le)
-        le = jnp.where(b_idx >= run, True, le)
+        le = jnp.where(b_idx >= nB, True, le)
         le = jnp.where(b_idx < 0, False, le)
         return le
 
@@ -786,36 +786,16 @@ def _alt_pass_scalars(hi, lo, run, parity: int):
 def _pair_alt_scalars(hi, lo, nA: int):
     """Per-tile scalars for ONE [A asc | B desc-stored] pair of UNEQUAL
     static lengths (A = [:nA] ascending, B = [nA:] descending); ascending
-    output. Same scal layout as _alt_pass_scalars."""
+    output. Same scal layout as _alt_pass_scalars; the partition is the
+    SAME _alt_partition search (base 0, unequal nB) -- one tie-break
+    implementation for both the equal-run and unequal-pair paths."""
     n = hi.shape[0]
     nB = n - nA
     ntiles = n // TILE_E
     d = jnp.arange(ntiles, dtype=jnp.int32) * TILE_E
 
-    def a_of(dd):
-        lo_b = jnp.maximum(0, dd - nB)
-        hi_b = jnp.minimum(dd, nA)
-
-        def a_le_b(a_idx, b_idx):
-            ga = jnp.clip(a_idx, 0, n - 1)
-            gb = jnp.clip(nA + nB - 1 - b_idx, 0, n - 1)
-            le = _less_eq2(hi[ga], lo[ga], hi[gb], lo[gb])
-            le = jnp.where(a_idx < 0, True, le)
-            le = jnp.where(b_idx >= nB, True, le)
-            le = jnp.where(b_idx < 0, False, le)
-            return le
-
-        def body(_, carry):
-            lo_c, hi_c = carry
-            mid = (lo_c + hi_c + 1) >> 1
-            ok = a_le_b(mid - 1, dd - mid)
-            return jnp.where(ok, mid, lo_c), jnp.where(ok, hi_c, mid - 1)
-
-        a0, _ = jax.lax.fori_loop(0, 31, body, (lo_b, hi_b))
-        return a0
-
-    a0 = a_of(d)
-    a1 = a_of(d + TILE_E)
+    a0 = _alt_partition(hi, lo, nA, 0, d, nB=nB)
+    a1 = _alt_partition(hi, lo, nA, 0, d + TILE_E, nB=nB)
     b0 = d - a0
     b1 = (d + TILE_E) - a1
     ga0 = a0 + FRONT_R * LANES

@@ -161,12 +161,15 @@ def run_selftest(k: int = 25, verbose_print=print,
               np.array_equal(np.asarray(per, np.int64), want)
               and tot == int(want.sum()) and rwh == int((want > 0).sum()),
               f"{tot} hits / {rwh} reads")
-        guard()
 
       # sharded step with the receive tree + fused dedup on ONE chip
-      # (force_second_round): gated-off AND taken overflow rounds
+      # (force_second_round): gated-off AND taken overflow rounds.
+      # guard() runs BEFORE each chunk of device work, never after the
+      # last one -- a run whose final check completes just as the budget
+      # expires is complete, not partial.
       from zotpu.kernels.dispatch import use_pallas
       if use_pallas():
+        guard()
         from zotpu.dist import mesh as M
         from zotpu.dist import shuffle
         from zotpu.io import wire
@@ -177,6 +180,8 @@ def run_selftest(k: int = 25, verbose_print=print,
         pw, mw = wire.pack_codes(codes)
         mesh = M.make_mesh(1)
         for label, cf in (("gated", 1.05), ("taken", 0.8)):
+            if label != "gated":
+                guard()
             step, _ = shuffle.make_kmerize_step(
                 mesh, k, len(reads_a), 128, capacity_factor=cf,
                 compact=False, wire=True, force_second_round=True)
@@ -190,7 +195,6 @@ def run_selftest(k: int = 25, verbose_print=print,
             okd &= (np.array_equal(got, gk_a)
                     and np.array_equal(counts[:nn].astype(np.uint32), gc_a))
             check(f"sharded_fused_dedup_{label}", okd)
-            guard()
       else:
         verbose_print(json.dumps({
             "check": "sharded_fused_dedup", "skipped":

@@ -99,16 +99,31 @@ def _partition_sorted_prefix(keys, counts, k: int, n_shards: int):
     return hi, lo, c
 
 
-def _sharded_setop_fn(mesh, op: str):
-    """Jitted shard_map program: per-shard fused set_op + psum'd counts."""
+_SETOP_FN_CACHE: dict = {}
+
+
+def _sharded_setop_fn(op: str, n_shards: int):
+    """Jitted shard_map program: per-shard fused set_op + psum'd counts.
+
+    Cached by (op, n_shards) -- a fresh jax.jit object per call would
+    RETRACE (and on this rig's remote compile service, recompile for
+    MINUTES) on every pair of an N-way jaccard matrix even at identical
+    shapes; one cached callable lets jit's own shape cache do its job."""
+    key = (op, n_shards)
+    hit = _SETOP_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     import jax
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from zotpu.dist import mesh as M
     from zotpu.dist.mesh import AXIS
     from zotpu.kernels.setops_merge import set_op_auto
 
+    mesh = M.make_mesh(n_shards)
     SENT = np.uint32(0xFFFFFFFF)
 
     def local(ahi, alo, ac, bhi, blo, bc):
@@ -125,12 +140,15 @@ def _sharded_setop_fn(mesh, op: str):
                    out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
                               P(AXIS), P()),
                    check_vma=False)  # see dist/shuffle.make_kmerize_step
-    return jax.jit(fn)
+    fn = jax.jit(fn)
+    _SETOP_FN_CACHE[key] = fn
+    return fn
 
 
 def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
                    b: tuple[np.ndarray, np.ndarray], op: str, k: int,
-                   n_shards: int) -> tuple[np.ndarray, np.ndarray, dict]:
+                   n_shards: int, gather: bool = True
+                   ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Key-prefix-sharded set op across ``n_shards`` devices.
 
     Each shard runs the fused merge+combine+compact kernel on its slice of
@@ -139,18 +157,28 @@ def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
     Returns (keys, counts, cards) with cards = the psum'd {a, b, intersect,
     union} cardinalities, derived from the op's own output size (no second
     kernel): n_out = |A|+|B|-|A^B| for union/merge, |A^B| for intersect,
-    |A|-|A^B| for diff."""
+    |A|-|A^B| for diff.
+
+    ``gather=False`` skips the full (D, cap) result transfer and the host
+    reconstruction entirely and returns (None, None, cards) -- the right
+    form for cardinality-only queries (jaccard), where the D2H of a
+    multi-GB result set would be pure waste."""
     import jax.numpy as jnp
 
-    from zotpu.dist import mesh as M
-
-    mesh = M.make_mesh(n_shards)
     ahi, alo, ac = _partition_sorted_prefix(a[0], a[1], k, n_shards)
     bhi, blo, bc = _partition_sorted_prefix(b[0], b[1], k, n_shards)
-    fn = _sharded_setop_fn(mesh, op)
+    fn = _sharded_setop_fn(op, n_shards)
     hi, lo, c, n, tot = fn(jnp.asarray(ahi), jnp.asarray(alo),
                            jnp.asarray(ac), jnp.asarray(bhi),
                            jnp.asarray(blo), jnp.asarray(bc))
+    na, nb, n_out = (int(x) for x in np.asarray(tot))
+    n_int = {"merge": na + nb - n_out, "union": na + nb - n_out,
+             "intersect": n_out, "diff": na - n_out}[op]
+    cards = {"a": na, "b": nb, "intersect": n_int,
+             "union": na + nb - n_int,
+             "jaccard": n_int / (na + nb - n_int) if na + nb - n_int else 0.0}
+    if not gather:
+        return None, None, cards
     hi, lo = np.asarray(hi), np.asarray(lo)
     c, n = np.asarray(c), np.asarray(n)
     keys_out, cnt_out = [], []
@@ -162,21 +190,15 @@ def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
             else np.empty(0, np.uint64))
     counts = (np.concatenate(cnt_out) if cnt_out
               else np.empty(0, S.COUNT_DTYPE))
-    na, nb, n_out = (int(x) for x in np.asarray(tot))
-    n_int = {"merge": na + nb - n_out, "union": na + nb - n_out,
-             "intersect": n_out, "diff": na - n_out}[op]
-    cards = {"a": na, "b": nb, "intersect": n_int,
-             "union": na + nb - n_int,
-             "jaccard": n_int / (na + nb - n_int) if na + nb - n_int else 0.0}
     return keys, counts, cards
 
 
 def jaccard_sharded(a_keys: np.ndarray, b_keys: np.ndarray, k: int,
                     n_shards: int) -> dict:
-    """Similarity from psum'd per-shard cardinalities (no output gather:
-    only the four totals leave the mesh)."""
+    """Similarity from psum'd per-shard cardinalities: gather=False means
+    only the three psum'd totals leave the mesh (no result-set D2H)."""
     ones_a = np.ones(len(a_keys), np.uint32)
     ones_b = np.ones(len(b_keys), np.uint32)
     _, _, cards = set_op_sharded((a_keys, ones_a), (b_keys, ones_b),
-                                 "intersect", k, n_shards)
+                                 "intersect", k, n_shards, gather=False)
     return cards
