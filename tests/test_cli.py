@@ -61,6 +61,47 @@ def test_kmerize_spill_resume(tmp_path, reads):
     assert np.array_equal(counts, rc)
 
 
+def test_kmerize_resume_rejects_different_k(tmp_path, reads):
+    """Round 4: the layout stamp includes k -- resuming a crashed k=21 run
+    as k=25 must RECOMPUTE every batch (stale-k run files silently merged
+    mixed-k key spaces before; KmerSet.validate cannot catch it because
+    smaller-k keys are valid under a larger k's mask)."""
+    from zotpu.workloads import kmerize as W
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    with pytest.raises(W.Interrupted):
+        W.kmerize_paths([str(fq)], 21, batch_reads=32, max_len=128,
+                        spill_dir=str(spill), fail_after_batches=2)
+    keys, counts = W.kmerize_paths([str(fq)], 25, batch_reads=32, max_len=128,
+                                   spill_dir=str(spill), resume=True)
+    want_k, want_c = G.kmerize(25, reads)
+    assert np.array_equal(keys, want_k)
+    assert np.array_equal(counts, want_c)
+
+
+def test_resume_from_spills_rejects_mixed_layouts(tmp_path, reads):
+    """Round 4: resume_from_spills refuses a directory whose run files
+    carry different layout stamps (leftovers of a crashed finer-batched
+    run beside a coarser rerun would double-count their reads)."""
+    from zotpu.workloads import kmerize as W
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), reads)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    with pytest.raises(W.Interrupted):
+        W.kmerize_paths([str(fq)], 21, batch_reads=8, max_len=128,
+                        spill_dir=str(spill), fail_after_batches=5)
+    # a coarser rerun overwrites only the batch numbers it reaches (150
+    # reads / 64 = 3 batches), leaving run000004-5 of the finer run stale
+    W.kmerize_paths([str(fq)], 21, batch_reads=64, max_len=128,
+                    spill_dir=str(spill))
+    assert len(list(spill.glob("*.zkf"))) == 5
+    with pytest.raises(ValueError, match="different layouts"):
+        W.resume_from_spills(str(spill))
+
+
 def test_kmerize_crash_and_resume(tmp_path, reads):
     """Fault injection: crash mid-run, resume, output identical (SURVEY §5)."""
     from zotpu.workloads import kmerize as W

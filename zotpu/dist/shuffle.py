@@ -697,9 +697,19 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
         # kernels/join.py). Tags are rid+1 (0 = panel row).
         hit, tag = _join_xla(phi, plo, rhi, rlo, rrid + jnp.uint32(1))
         cond = hit & (tag > 0)
-        idx = jnp.where(cond, tag.astype(jnp.int32) - 1, R_total)
-        hits = jnp.zeros(R_total, jnp.int32).at[idx].add(
-            cond.astype(jnp.int32), mode="drop")
+        # Per-read aggregation WITHOUT scatter (repo rule: XLA scatter runs
+        # at 0.03-0.13 Gelem/s on this core): sort the hit row ids (misses
+        # sink to the R_total bin) and take per-row occupancy from
+        # searchsorted bin edges -- kernels/join._rowsum_from_hit_tags's
+        # pattern at shard scale. u16 keys when they fit (0.33 vs 0.28
+        # Gkeys/s, kernels/join.py).
+        dt = jnp.uint16 if R_total + 1 < (1 << 16) else jnp.int32
+        t = jnp.where(cond, tag - jnp.uint32(1),
+                      jnp.uint32(R_total)).astype(dt)
+        (t,) = jax.lax.sort((t,), num_keys=1)
+        bins = jnp.arange(R_total + 1, dtype=dt)
+        edges = jnp.searchsorted(t, bins, side="left").astype(jnp.int32)
+        hits = jnp.diff(edges)
         hits = jax.lax.psum(hits, AXIS)
         return hits[None], overflow[None]
 

@@ -66,8 +66,12 @@ def read_fastq(f) -> Iterator[tuple[str, str, str]]:
                    seq.decode("ascii").rstrip("\r\n"),
                    qual.decode("ascii").rstrip("\r\n"))
         else:
+            # rstrip \r too: a text-mode file object without universal
+            # newlines over CRLF input would otherwise leave a trailing
+            # \r on seq/qual (the bytes branch above already does)
             seq = f.readline(); plus = f.readline(); qual = f.readline()
-            yield hdr.rstrip("\r\n")[1:], seq.rstrip("\n"), qual.rstrip("\n")
+            yield (hdr.rstrip("\r\n")[1:], seq.rstrip("\r\n"),
+                   qual.rstrip("\r\n"))
 
 
 # --- batched vectorized parsing --------------------------------------------
@@ -102,25 +106,6 @@ class CodeBatch:
     def __post_init__(self):
         if self.bases < 0:
             self.bases = int(self.lengths[:self.n_reads].sum())
-
-
-def _seq_line_spans(buf: np.ndarray, fmt: str) -> tuple[np.ndarray, np.ndarray]:
-    """(start, end) byte offsets of every sequence line in a raw file buffer."""
-    nl = np.where(buf == 0x0A)[0]
-    if len(nl) == 0 or nl[-1] != len(buf) - 1:
-        nl = np.append(nl, len(buf))
-    starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
-    ends = nl.astype(np.int64)
-    # tolerate CRLF: drop a trailing \r from every line
-    has_cr = (ends > starts) & (buf[np.maximum(ends - 1, 0)] == 0x0D)
-    ends = ends - has_cr
-    if fmt == "fastq":
-        return starts[1::4], ends[1::4]
-    # FASTA: sequence lines are any line not starting with '>' (multi-line
-    # records are concatenated by the caller via record ids).
-    is_seq = buf[np.minimum(starts, len(buf) - 1)] != ord(">")
-    is_seq &= starts < ends
-    return starts[is_seq], ends[is_seq]
 
 
 def _chunk_bytes() -> int:

@@ -43,10 +43,13 @@ class Stats:
         return dataclasses.asdict(self)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "compact"))
 def _device_batch(codes, lengths, k, compact: bool = True):
     """One per-batch device step. compact=False leaves duplicates sentinel-
     marked in place (no compaction sort) -- the accumulator re-sorts during
-    its merge anyway, so the hot path skips the second full-width sort."""
+    its merge anyway, so the hot path skips the second full-width sort.
+    jitted like its wire twin: two eager dispatches per batch cost an extra
+    remote round trip each (accumulator.py docstring)."""
     from zotpu.kernels import dispatch
     hi, lo, w = dispatch.pack_canonical(codes, lengths, k)
     return sortdedup.kmer_sort_dedup(hi, lo, w, compact=compact)
@@ -213,10 +216,12 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         stats.kmers += int(cnts.sum(dtype=np.uint64))
         runs.append((keys, cnts))
 
-    # Run-file contents depend on the batching layout; stamp it and reject
-    # stale files on resume (ADVICE round 3 -- resuming with different
-    # --batch-reads silently reused runs covering the wrong read subsets).
-    stamp = {"batch_reads": batch_reads, "max_len": max_len}
+    # Run-file contents depend on the batching layout AND k; stamp both and
+    # reject stale files on resume (ADVICE round 3 -- resuming with
+    # different --batch-reads silently reused runs covering the wrong read
+    # subsets; round 4 adds k, without which resuming a crashed k=25 run
+    # as k=31 silently merged mixed-k key spaces).
+    stamp = {"k": k, "batch_reads": batch_reads, "max_len": max_len}
 
     # The prefetch thread overlaps parsing (gzip/encode, GIL-released) with
     # device compute and host merging of the previous batch.
@@ -226,10 +231,8 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
         batch_no += 1
         run_path = (os.path.join(spill_dir, f"run{batch_no:06d}.zkf")
                     if spill_dir is not None else None)
-        if resume and run_path and os.path.exists(run_path):
-            ks = container.read(run_path)
-            if any(ks.meta.get(key) != val for key, val in stamp.items()):
-                ks = None                     # stale layout: recompute
+        if resume and run_path:
+            ks = _load_run_if_valid(run_path, stamp)
             if ks is not None:
                 if pending is not None:
                     consume(pending)
@@ -276,13 +279,44 @@ def kmerize_paths(paths: list[str], k: int, batch_reads: int = 4096,
     return keys, counts
 
 
+_STAMP_KEYS = ("k", "batch_reads", "max_len", "process_count",
+               "process_index", "n_shards", "shard_hash")
+
+
+def _load_run_if_valid(path, stamp):
+    """Read a spill run iff its layout stamp matches; None = recompute."""
+    if not os.path.exists(path):
+        return None
+    ks = container.read(path)
+    if any(ks.meta.get(key) != val for key, val in stamp.items()):
+        return None                           # stale layout: recompute
+    return ks
+
+
 def resume_from_spills(spill_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Rebuild the merged set from previously written per-batch runs."""
+    """Rebuild the merged set from previously written per-batch runs.
+
+    Every run file must carry an IDENTICAL layout stamp (k, batching, and
+    -- for sharded runs -- the process layout): run contents depend on all
+    of them, so a directory mixing leftovers from a run with a different
+    layout (e.g. a crashed --batch-reads 1024 run partially overwritten by
+    a --batch-reads 4096 rerun) would silently double-count the reads the
+    stale files cover. Mixed stamps raise instead."""
     runs = []
+    ref = None
     for name in sorted(os.listdir(spill_dir)):
-        if name.endswith(".zkf"):
-            ks = container.read(os.path.join(spill_dir, name))
-            runs.append((ks.keys, ks.counts))
+        if not name.endswith(".zkf"):
+            continue
+        ks = container.read(os.path.join(spill_dir, name))
+        sig = (ks.k,) + tuple(ks.meta.get(key) for key in _STAMP_KEYS)
+        if ref is None:
+            ref = (name, sig)
+        elif sig != ref[1]:
+            raise ValueError(
+                f"spill dir mixes runs from different layouts: {ref[0]} has "
+                f"{ref[1]} but {name} has {sig}; delete the stale files or "
+                f"rerun kmerize with --spill-dir to recompute")
+        runs.append((ks.keys, ks.counts))
     return merge_runs(runs)
 
 
@@ -415,18 +449,10 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
     # the layout into the run meta and reject stale files on resume
     # (ADVICE round 3: resuming under a different --num-processes silently
     # reused files covering the wrong shard subsets).
-    stamp = {"process_count": jax.process_count(),
+    stamp = {"k": k, "process_count": jax.process_count(),
              "process_index": jax.process_index(), "n_shards": n_shards,
              "batch_reads": batch_reads, "max_len": max_len,
              "shard_hash": shard_hash}
-
-    def _load_run_if_valid(path):
-        if not os.path.exists(path):
-            return None
-        ks = container.read(path)
-        if any(ks.meta.get(key) != val for key, val in stamp.items()):
-            return None                       # stale layout: recompute
-        return ks
 
     for batch in _iter_global_batches(paths, mesh, reads_per_chip, rtot,
                                       max_len, k, stats,
@@ -437,7 +463,7 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
         run_path = (os.path.join(spill_dir, run_name)
                     if spill_dir is not None else None)
         if resume and run_path:
-            ks = _load_run_if_valid(run_path)
+            ks = _load_run_if_valid(run_path, stamp)
             have = ks is not None
             if multi:
                 # unanimous skip only: steps are collective, so one host
@@ -479,6 +505,10 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
         if ovf_now > 0:
             raise ValueError(
                 "all-to-all bucket overflow: raise capacity_factor")
+        # routing-skew observability in spill mode too (round 4: it was
+        # accumulated only on the accumulator path, leaving skewed spill
+        # runs with no signal to justify --shard-hash mixed)
+        routed_tot = routed if routed_tot is None else routed_tot + routed
         if multi:
             # spill THIS host's shard rows only (sorted: a host's devices
             # own ascending key-prefix ranges; mixed reorders at the end)
@@ -514,13 +544,6 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             keys, counts = shuffle.gather_global(
                 *acc.result(), reorder=shard_hash == "mixed")
             stats.kmers = int(counts.sum(dtype=np.uint64))
-        if routed_tot is not None:
-            if multi:
-                from jax.experimental import multihost_utils as mh
-                routed = mh.process_allgather(routed_tot, tiled=True)
-            else:
-                routed = np.asarray(routed_tot)
-            stats.routed_per_shard = [int(x) for x in routed]
     else:
         # multi: merge THIS host's runs on the host (local data, zero
         # collective risk), then allgather the disjoint host sets
@@ -529,6 +552,13 @@ def kmerize_paths_sharded(paths: list[str], k: int, n_shards: int,
             keys, counts = shuffle.allgather_host_sets(
                 keys, counts, reorder=reorder)
             stats.kmers = int(counts.sum(dtype=np.uint64))
+    if routed_tot is not None:
+        if multi:
+            from jax.experimental import multihost_utils as mh
+            routed = mh.process_allgather(routed_tot, tiled=True)
+        else:
+            routed = np.asarray(routed_tot)
+        stats.routed_per_shard = [int(x) for x in routed]
     if multi:
         # reads/bases were counted per host; sum across hosts
         from jax.experimental import multihost_utils as mh
