@@ -36,9 +36,22 @@ def test_parse_variants():
     assert (v.start, v.end, v.alt, v.op) == (9, 12, None, "inv")
     for bad in ("nonsense", "c:g.5_3del", "c:g.10_15insAA", "c:g.10insA",
                 "c:g.5_6A>G", "c:g.10_12delAA", "c:g.3_4delins",
-                "c:g.10_12invAA"):
+                "c:g.10_12invAA",
+                # positions are 1-based: 0 would wrap start to -1 and
+                # slice from the END of the reference (round 4)
+                "c:g.0A>G", "c:g.0_5del"):
         with pytest.raises(ValueError):
             V.parse_variant(bad)
+
+
+def test_load_transcripts_empty_strand_rejected(tmp_path):
+    # '' in "+-" is True: a double-tab strand field used to load a
+    # transcript whose coordinate math and allele flipping silently
+    # disagreed (round 4)
+    p = tmp_path / "empty_strand.tsv"
+    p.write_text("TXA\tchr1\t\t100\t260\t120\t240\t2\t100,200,\t160,260,\n")
+    with pytest.raises(ValueError, match="bad strand"):
+        V.load_transcripts(str(p))
 
 
 def test_resolve_checks_reference(ref):

@@ -181,8 +181,12 @@ def cmd_merge(args):
                 hi32, lo32 = S.split_hi_lo(kc)
                 if cc is None:
                     cc = np.ones(len(kc), np.uint32)
+                # container chunks are DENSE sorted-unique prefixes: flag
+                # them so level merges stream through the fused Pallas
+                # merge instead of the sort-based set_op (round 3's design)
                 acc.add(jnp.asarray(hi32), jnp.asarray(lo32),
-                        jnp.asarray(cc.astype(np.uint32)), len(kc))
+                        jnp.asarray(cc.astype(np.uint32)), len(kc),
+                        dense=True)
         if acc is None:
             keys = np.empty(0, np.uint64)
             counts = np.empty(0, S.COUNT_DTYPE)
@@ -316,6 +320,12 @@ def cmd_scan(args):
     panel, _ = _load_padded(args.panel)
     from zotpu.workloads import pulldown
     if args.host:
+        if multi:
+            # the host path ignores sample assignment: every host would
+            # scan ALL samples and emit duplicate per-read/out-reads output
+            print("error: --host is not supported with --num-processes > 1 "
+                  "(run the host oracle single-controller)", file=sys.stderr)
+            return 1
         results = []
         for p in args.samples:
             seqs = _read_all_seqs([p])
@@ -373,28 +383,71 @@ def _write_hit_reads(out_fh, path, per_read, min_hits):
 def _write_variant_reads(args, meta, k, sample):
     """Per-variant pulldown of supporting reads (clinical workflow tail):
     for each panel variant, the sample reads carrying >= --min-hits of its
-    ALT probes go to OUT_DIR/<variant>.<sample>.fastq. Reuses the scan
-    pulldown machinery with the variant's alt probes as the panel."""
+    ALT probes go to OUT_DIR/<variant>.<sample>.fastq.
+
+    O(1) passes over the sample, not O(variants) (round 4 -- a 200-variant
+    panel on a 10 GB FASTQ used to re-scan AND re-parse the file ~400
+    times): ONE scan against the UNION of every variant's alt probes finds
+    the candidate reads (any read supporting variant V with >= min_hits
+    hits must hit the union at least once), ONE parse pass collects just
+    those records, then each variant's per-read hit counts come from the
+    golden scan over only the candidates (typically a tiny fraction of the
+    sample)."""
     import re
 
+    from zotpu.io import fastq
     from zotpu.workloads import pulldown
     os.makedirs(args.out_reads, exist_ok=True)
     sanitize = lambda s: re.sub(r"[^A-Za-z0-9._-]", "_", s)
     sbase = sanitize(os.path.basename(sample))
-    seqs = _read_all_seqs([sample]) if args.host else None
+    alt_sets = {m["spec"]: np.asarray([int(x, 16) for x in m["alt_probes"]],
+                                      np.uint64)
+                for m in meta["variants"]}
+    if not alt_sets:
+        return {}
+    union = np.unique(np.concatenate(list(alt_sets.values())))
+
+    # 1. one scan of the whole sample vs the union panel
+    if args.host:
+        seqs = _read_all_seqs([sample])
+        union_hits = [int(h) for h in G.scan_panel(k, union, seqs)]
+    else:
+        _, _, union_hits = pulldown.pulldown_paths(
+            union, [sample], k, batch_reads=args.batch_reads,
+            max_len=args.max_len)[0]
+    if args.min_hits >= 1:
+        cand = [i for i, h in enumerate(union_hits) if h >= 1]
+    else:  # min_hits <= 0 qualifies every read; no candidate filter
+        cand = list(range(len(union_hits)))
+
+    # 2. one parse pass collects just the candidate records
+    recs = {}
+    fmt = fastq.sniff_format(sample)
+    cand_set = set(cand)
+    with fastq.open_file(sample) as f:
+        it = (fastq.read_fastq(f) if fmt == "fastq"
+              else ((n, s, "I" * len(s)) for n, s in fastq.read_fasta(f)))
+        for i, rec in enumerate(it):
+            if i in cand_set:
+                recs[i] = rec
+
+    # 3. per-variant hit counts over only the candidates (host golden --
+    # byte-equal to the device join by the project invariant)
+    cand_seqs = [recs[i][1] for i in cand]
     written = {}
     for m in meta["variants"]:
-        alt = np.asarray([int(x, 16) for x in m["alt_probes"]], np.uint64)
-        if args.host:
-            per_read = [int(h) for h in G.scan_panel(k, alt, seqs)]
-        else:
-            _, _, per_read = pulldown.pulldown_paths(
-                alt, [sample], k, batch_reads=args.batch_reads,
-                max_len=args.max_len)[0]
-        out = os.path.join(args.out_reads, f"{sanitize(m['spec'])}.{sbase}.fastq")
+        hits = (G.scan_panel(k, alt_sets[m["spec"]], cand_seqs)
+                if cand else np.zeros(0, np.int64))
+        out = os.path.join(args.out_reads,
+                           f"{sanitize(m['spec'])}.{sbase}.fastq")
+        nw = 0
         with open(out, "w") as fh:
-            _write_hit_reads(fh, sample, per_read, args.min_hits)
-        written[m["spec"]] = sum(1 for h in per_read if h >= args.min_hits)
+            for idx, h in zip(cand, hits):
+                if int(h) >= args.min_hits:
+                    rid, seq, qual = recs[idx]
+                    fh.write(f"@{rid}\n{seq}\n+\n{qual}\n")
+                    nw += 1
+        written[m["spec"]] = nw
     return written
 
 
@@ -501,14 +554,10 @@ def cmd_query(args):
     ks, counts = _load_padded(args.input)
     k = ks.k
     sset = SparseSet(ks.keys)
-    specs = []
-    for q in args.kmers:
-        if q.startswith("@"):
-            with open(q[1:]) as f:
-                specs.extend(t for t in (ln.strip() for ln in f)
-                             if t and not t.startswith("#"))
-        else:
-            specs.append(q)
+    # same @FILE expansion as the variant commands (shared helper: the old
+    # inline copy skipped only whole-line comments, so a trailing
+    # '# note' raised a length error instead of being stripped)
+    specs = _expand_variant_specs(args.kmers)
     found = 0
     for q in specs:
         qs = q.upper()

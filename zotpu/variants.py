@@ -27,8 +27,12 @@ given (refGene-style TSV, see ``load_transcripts``): ``TX1:c.76A>T``,
 description is resolved to a genomic Variant through the transcript's exon
 structure and strand (alleles reverse-complement onto '-'-strand genes), so
 everything downstream -- probes, evidence, spike-in -- is coordinate-system
-agnostic. Spans (``c.a_b``) must not cross an intron (probe semantics over
-a spliced edit are ambiguous on genomic reads; the parser rejects them).
+agnostic. Spans (``c.a_b``) whose endpoints are both PLAIN EXONIC positions
+in different exons are rejected (the c. span skips the intron, so the
+genomic edit is ambiguous); endpoints carrying intron offsets (``N+M`` /
+``N-M``) resolve to exact genomic bases, so spans through a splice
+boundary described that way (e.g. ``c.20_21+5del``) are accepted as the
+exact genomic interval they name.
 
 Probe model: the k-mers whose windows OVERLAP the edited bases -- k-1 bases
 of flanking context on each side -- computed on the reference allele (ref
@@ -78,6 +82,10 @@ def parse_variant(spec: str) -> Variant:
     seq_name = m.group("seq")
     a = int(m.group("a"))
     b = int(m.group("b")) if m.group("b") else a
+    if a < 1:
+        # HGVS positions are 1-based; 0 would wrap to start=-1 and slice
+        # from the END of the reference, silently garbling every probe
+        raise ValueError(f"{spec!r}: positions are 1-based, got {a}")
     if b < a:
         raise ValueError(f"{spec!r}: end {b} before start {a}")
     if m.group("sub"):
@@ -159,14 +167,17 @@ def load_transcripts(path: str) -> dict[str, "Transcript"]:
                 continue
             fields = line.split("\t") if "\t" in line else line.split()
             if len(fields) >= 11 and fields[0].lstrip("-").isdigit() \
-                    and fields[3] in "+-":
+                    and fields[3] in ("+", "-"):
                 fields = fields[1:]          # UCSC ``bin`` column
             if len(fields) < 10:
                 raise ValueError(f"{path}:{ln}: expected >=10 refGene-style "
                                  f"columns, got {len(fields)}")
             (name, chrom, strand, tx_s, tx_e, cds_s, cds_e, n_ex,
              ex_s, ex_e) = fields[:10]
-            if strand not in "+-":
+            if strand not in ("+", "-"):
+                # tuple, not the string "+-": an EMPTY strand field (double
+                # tab) satisfies `'' in "+-"` and loads a transcript whose
+                # coordinate math and allele flipping silently disagree
                 raise ValueError(f"{path}:{ln}: bad strand {strand!r}")
             starts = [int(x) for x in ex_s.rstrip(",").split(",")]
             ends = [int(x) for x in ex_e.rstrip(",").split(",")]
