@@ -32,6 +32,13 @@ headline LAST (the driver parses the final JSON line): the measured-term
 bases/s/HOST target, per-chip rate carried inside the record. Other lines
 cover the remaining BASELINE metrics. Progress goes to stderr.
 
+Self-describing-artifact notes: the e2e record's ``marginal_bases_per_s``
+field is CONDITIONAL -- it is dropped (not zeroed) when tunnel weather
+makes the half-size run slower than the full run, so its absence means
+"weather", not "zero" (VERDICT round 4 weak item 7). A
+``selftest_gate_partial`` record appears when the gate passed on a
+partial (budget-clipped) selftest, carrying how many checks ran.
+
 Each workload runs in its OWN subprocess with a hard timeout: this rig's TPU
 rides a shared remote tunnel whose weather can stall a single transfer for
 many minutes (docs/PERF_NOTES.md), and a stalled tail workload must not cost
@@ -54,9 +61,11 @@ MARKER = "ZOTPU_BENCH_RESULT "
 # least-important-first print order for the final block; the headline is
 # appended after these. Unknown metrics print first (never crash at the very
 # end and discard every measured line -- ADVICE round 2).
-ORDER = ["kmerize_sharded_second_round_overhead",
+ORDER = ["fixture_delta_diagnostics",
+         "kmerize_sharded_second_round_overhead",
          "host_parse_gz_bases_per_s", "kmerize_e2e_bases_per_s",
-         "scan_kmers_per_s", "setops_merge_gb_per_s",
+         "scan_kmers_per_s", "scan_kmers_per_s_host",
+         "setops_merge_gb_per_s", "setops_gb_per_s_host",
          "kmerize_sustained_bases_per_s_chip",
          "kmerize_bases_per_s_chip"]
 
@@ -204,32 +213,56 @@ def run_gate() -> bool:
     # timeout left the shard-model child too little to finish)
     tmo = max(60, min(int(os.environ.get("ZOTPU_BENCH_GATE_TIMEOUT", 300)),
                       int(_remaining() / 4)))
-    _log(f"gate: zotpu selftest (budget {tmo}s)")
-    # The selftest gets tmo as an IN-PROCESS budget: it skips remaining
-    # checks and exits CLEANLY between device ops when over (partial pass).
-    # The subprocess timeout is only a backstop, with slack for a check
-    # already in flight -- killing the child mid-TPU-op can wedge the
-    # shared chip for minutes (observed round 4) and starve the headline.
+    # The subprocess wall is a backstop with slack for a check already in
+    # flight (killing the child mid-TPU-op can wedge the shared chip for
+    # minutes -- observed round 4), but it is ALSO clamped so the gate can
+    # never eat past the headline workload's reserve on a short remaining
+    # budget (ADVICE round 4: tmo + 120 with tmo = remaining/4 could burn
+    # well past the quarter share the cap was added to protect).
+    backstop = max(90, min(tmo + 120, int(_remaining()) - 300))
+    inproc = max(30, min(tmo - 30, backstop - 60))
+    _log(f"gate: zotpu selftest (in-process budget {inproc}s, "
+         f"backstop {backstop}s)")
+    # The selftest gets an IN-PROCESS budget: it skips remaining checks and
+    # exits CLEANLY between device ops when over (partial pass).
     code = ("import os, signal, sys\n"
             "signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))\n"
-            f"os.environ['ZOTPU_SELFTEST_BUDGET'] = '{max(tmo - 30, 30)}'\n"
+            f"os.environ['ZOTPU_SELFTEST_BUDGET'] = '{inproc}'\n"
             "from zotpu import runtime\n"
             "runtime.setup()\n"
             "from zotpu.selftest import run_selftest\n"
             "sys.exit(run_selftest())\n")
     t0 = time.monotonic()
-    so, rc, timed_out, _se = _run_child(code, tmo + 120)
+    so, rc, timed_out, _se = _run_child(code, backstop)
     dt = time.monotonic() - t0
     if timed_out:
-        _log(f"gate: selftest timed out after {tmo + 120}s (tunnel "
+        _log(f"gate: selftest timed out after {backstop}s (tunnel "
              "weather); proceeding without the gate")
         return True
     if rc == 0:
-        partial = any("selftest_budget_exceeded" in ln
-                      for ln in so.splitlines())
+        summary = None
+        for ln in so.splitlines():
+            if '"command": "selftest"' in ln:
+                try:
+                    summary = json.loads(ln)
+                except ValueError:
+                    pass
+        partial = bool(summary and summary.get("partial"))
         _log(f"gate: selftest ok in {dt:.0f}s"
              + (" (partial -- budget hit, every run check passed)"
                 if partial else ""))
+        if partial:
+            # The partial flag must reach the streamed artifact, not just
+            # stderr: the driver cannot otherwise distinguish a full-
+            # coverage gate pass from a single-check one (ADVICE round 4).
+            _stream({
+                "metric": "selftest_gate_partial",
+                "value": summary.get("checks", 0),
+                "unit": ("checks RUN before the gate budget expired (all "
+                         "passed; remaining checks skipped cleanly -- "
+                         "partial gate coverage, not a failure)"),
+                "vs_baseline": 1.0,
+            })
         return True
     failed = [ln for ln in so.splitlines()
               if '"ok": false' in ln or '"ok": False' in ln]
@@ -254,6 +287,13 @@ def main():
     total_bases = int(os.environ.get("ZOTPU_BENCH_BASES", 1 << 25))
     k = int(os.environ.get("ZOTPU_BENCH_K", 25))
     tmo = int(os.environ.get("ZOTPU_BENCH_TIMEOUT", 600))
+    # headline workload shape (round 5, VERDICT items 1+2): the
+    # E. coli-shaped coverage fixture -- reads from one deterministic
+    # genome sized for ~30x over an acc_batches-long run, 0.5% errors --
+    # with the run length DECLARED in the metric line. "uniform" restores
+    # the round-1..4 i.i.d.-random fixture for A/B.
+    fixture = os.environ.get("ZOTPU_BENCH_FIXTURE", "coverage")
+    acc_b = int(os.environ.get("ZOTPU_BENCH_ACC_BATCHES", 16))
 
     if not run_gate():
         _final_block()
@@ -277,12 +317,18 @@ def main():
     # needs only ~5 GB/s/chip of ICI, far under v5e ICI, so the floor is
     # pessimistic).
     _log(f"shard-model (plain step + D=1 sharded step + D=8 tree + "
-         f"sustained) {total_bases} bases k={k}")
+         f"sustained B={acc_b}) {total_bases} bases k={k} "
+         f"fixture={fixture}")
     sm = run_workload("shard-model", f"r = harness.bench_shard_model("
                       f"total_bases={total_bases}, k={k}, repeats=3, "
-                      f"progress=_partial)",
+                      f"progress=_partial, fixture={fixture!r}, "
+                      f"acc_batches={acc_b})",
                       int(os.environ.get("ZOTPU_BENCH_HEADLINE_TIMEOUT",
                                          600)))
+    fix_note = (f"{fixture} fixture"
+                + (f" (~30x genome, 0.5% err), B={acc_b}-batch amortized "
+                   "accumulator" if fixture == "coverage"
+                   else f", B={acc_b}-batch amortized accumulator"))
     chip_rate = None
     if sm and "plain_bases_per_s" in sm:
         chip_rate = sm["plain_bases_per_s"]
@@ -294,10 +340,10 @@ def main():
                      "amortized: slope of N-dispatch/1-fence timing -- the "
                      "production pipeline dispatches async and syncs once "
                      "per RUN, so the ~20-25 ms tunnel sync latency is not "
-                     "a per-batch cost; single-sync time in "
-                     "plain_seconds_single_sync. BASELINE's 1 Gbase/s "
-                     "target is per HOST = 8 of these chips -- the "
-                     "headline line carries that comparison)"),
+                     f"a per-batch cost; {fixture} fixture; single-sync "
+                     "time in plain_seconds_single_sync. BASELINE's "
+                     "1 Gbase/s target is per HOST = 8 of these chips -- "
+                     "the headline line carries that comparison)"),
             "vs_baseline": chip_rate / 1e9,
         })
         # provisional headline in case the model terms didn't finish
@@ -305,7 +351,8 @@ def main():
             "metric": "kmerize_bases_per_s_host",
             "value": chip_rate * 8 * 0.8,
             "unit": ("bases/s/host vs the 1e9 BASELINE north star "
-                     "(fallback: 1-chip rate x 8 chips x 0.8 scaling)"),
+                     "(fallback: 1-chip rate x 8 chips x 0.8 scaling; "
+                     + fix_note + ")"),
             "per_chip_bases_per_s": chip_rate,
             "vs_baseline": chip_rate * 8 * 0.8 / 1e9,
         })
@@ -320,7 +367,7 @@ def main():
             "unit": ("bases/s/host vs the 1e9 BASELINE north star (8 x "
                      "measured sharded chip step + measured receive merge "
                      "tree w/ fused dedup" + acc_note +
-                     ", 0.8 efficiency floor; needs "
+                     ", 0.8 efficiency floor; " + fix_note + "; needs "
                      f"{sm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip "
                      "ICI)"),
             "per_chip_bases_per_s": chip_rate,
@@ -333,10 +380,10 @@ def main():
         _stream({
             "metric": "kmerize_sustained_bases_per_s_chip",
             "value": sm["sustained_bases_per_s"],
-            "unit": ("bases/s/chip SUSTAINED over 8 batches incl. every "
-                     "LSM accumulator merge (dense dedup-compact step "
-                     "output + fused streaming level merges; transfers "
-                     "excluded)"),
+            "unit": (f"bases/s/chip SUSTAINED over {acc_b} batches incl. "
+                     "every LSM accumulator merge (dense dedup-compact "
+                     "step output + fused streaming level merges; "
+                     f"transfers excluded; {fix_note})"),
             "vs_baseline": sm["sustained_bases_per_s"] / 1e9,
         })
 
@@ -368,6 +415,46 @@ def main():
                      "docs/PERF_NOTES.md; scales across chips via "
                      "scan --shards)"),
             "vs_baseline": sc["kmers_per_s"] / 5e8,  # VERDICT target 0.5 G/s
+        })
+
+    # Host-scale lines for BASELINE configs 5 and 3 (VERDICT round 4
+    # missing item 2): same composition rule as the kmerize headline --
+    # the FULL sharded per-chip program measured at D=1 on this chip,
+    # times 8 chips at the 0.8 efficiency floor.
+    _log("scan-shard-model...")
+    ssm = run_workload("scan-shard-model",
+                       f"r = harness.bench_scan_shard_model(repeats=3, "
+                       f"k={k})", tmo)
+    if ssm:
+        _stream({
+            "metric": "scan_kmers_per_s_host",
+            "value": ssm["host8_kmers_per_s_at_0.8_eff"],
+            "unit": ("kmers/s/HOST (8 x the measured D=1 sharded pulldown "
+                     "step -- panel partition, k-mer routing w/ read-row "
+                     "ids, per-shard sort-merge join, psum'd hits -- at a "
+                     "0.8 efficiency floor; needs "
+                     f"{ssm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip "
+                     "ICI; per-chip rate in kmers_per_s_chip)"),
+            "kmers_per_s_chip": ssm["kmers_per_s_chip"],
+            "vs_baseline": ssm["host8_kmers_per_s_at_0.8_eff"] / 5e8,
+        })
+
+    _log("setops-shard-model...")
+    ssp = run_workload("setops-shard-model",
+                       "r = harness.bench_setops_shard_model(repeats=3)",
+                       tmo)
+    if ssp:
+        _stream({
+            "metric": "setops_gb_per_s_host",
+            "value": ssp["host8_gb_per_s_at_0.8_eff"],
+            "unit": ("GB/s/HOST sharded set ops (8 x the measured D=1 "
+                     "shard_map program -- per-shard fused merge kernel at "
+                     "2x16M keys/shard + psum'd cardinalities -- at a 0.8 "
+                     "floor that is extremely conservative here: key-"
+                     "prefix shard slices exchange NOTHING but 3 psum "
+                     "scalars; per-shard rate in gb_per_s_shard)"),
+            "gb_per_s_shard": ssp["gb_per_s_shard"],
+            "vs_baseline": ssp["host8_gb_per_s_at_0.8_eff"] / 0.98 / 8,
         })
 
     # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
@@ -441,6 +528,40 @@ def main():
             "value": e2e["bases_per_s"],
             "unit": unit,
             "vs_baseline": e2e["bases_per_s"] / 1e9,
+        })
+
+    # Fixture + run-length deltas (VERDICT round 4 missing item 1 "nobody
+    # knows which way the headline moves"): the uniform-random step and
+    # B-batch accumulator next to the coverage headline's terms, plus the
+    # coverage acc term at B=8 so the log-B trend is on the record. Runs
+    # LAST -- pure diagnostics, first to be dropped on a short budget.
+    _log("fixture-delta...")
+    fd = run_workload(
+        "fixture-delta",
+        "r = {'workload': 'fixture_delta'}\n"
+        f"u = harness.bench_kmerize({total_bases}, k={k}, repeats=2, "
+        f"fixture='uniform')\n"
+        "r['uniform_step_s'] = u['seconds']\n"
+        "r['uniform_bases_per_s'] = u['bases_per_s']\n"
+        "_partial(r)\n"
+        f"su = harness.bench_sustained(total_bases={total_bases}, k={k}, "
+        f"batches={acc_b}, fixture='uniform')\n"
+        "r['uniform_sustained_per_batch_s'] = su['per_batch_s']\n"
+        "_partial(r)\n"
+        f"s8 = harness.bench_sustained(total_bases={total_bases}, k={k}, "
+        f"batches=8, fixture={fixture!r})\n"
+        f"r['{fixture}_b8_sustained_per_batch_s'] = s8['per_batch_s']",
+        tmo)
+    if fd:
+        _stream({
+            "metric": "fixture_delta_diagnostics",
+            "value": fd.get("uniform_bases_per_s", 0),
+            "unit": ("uniform-fixture single-chip step bases/s, for the "
+                     f"delta vs the {fixture} headline terms; fields: "
+                     + ", ".join(sorted(set(fd) - {"workload", "device"}))),
+            **{kk: vv for kk, vv in fd.items()
+               if kk not in ("workload", "device")},
+            "vs_baseline": fd.get("uniform_bases_per_s", 0) / 1e9,
         })
 
     signal.alarm(0)

@@ -680,3 +680,48 @@ def test_selftest_budget_partial(capsys):
     assert summary["partial"] is True and summary["ok"] is True
     assert summary["checks"] >= 1          # config1 always completes
     assert any("selftest_budget_exceeded" in r for r in rows)
+
+
+def test_plain_resume_rejects_sharded_spills(tmp_path):
+    """ADVICE round 4: a spill whose meta carries layout keys ABSENT from
+    the caller's stamp (e.g. a single-controller sharded run's n_shards)
+    covers a different batch layout and must be recomputed even when every
+    shared key matches."""
+    from zotpu.workloads import kmerize as W
+    p = str(tmp_path / "run000001.zkf")
+    plain_stamp = {"k": 21, "batch_reads": 32, "max_len": 128}
+    container.write(p, container.KmerSet(
+        k=21, keys=np.array([5], np.uint64),
+        counts=np.array([1], np.uint32),
+        meta={"run": 1, **plain_stamp, "n_shards": 8, "process_count": 1,
+              "process_index": 0, "shard_hash": "prefix"}))
+    assert W._load_run_if_valid(p, plain_stamp) is None
+    container.write(p, container.KmerSet(
+        k=21, keys=np.array([5], np.uint64),
+        counts=np.array([1], np.uint32),
+        meta={"run": 1, **plain_stamp}))
+    assert W._load_run_if_valid(p, plain_stamp) is not None
+
+
+def test_union_stream_cli_single_process(tmp_path, capsys):
+    """`union --stream`: ChunkReader-partitioned sharded union, byte-equal
+    to the in-RAM device path (single controller; multi-controller covered
+    by test_multiprocess.test_two_process_stream_union_cli)."""
+    rng = np.random.default_rng(13)
+    k = 21
+    a_keys = np.unique(rng.integers(0, 1 << (2 * k), 3000, dtype=np.uint64))
+    b_keys = np.unique(np.concatenate([
+        a_keys[::2], rng.integers(0, 1 << (2 * k), 2500, dtype=np.uint64)]))
+    a_c = rng.integers(1, 40, len(a_keys)).astype(np.uint32)
+    b_c = rng.integers(1, 40, len(b_keys)).astype(np.uint32)
+    pa, pb = str(tmp_path / "a.zkf"), str(tmp_path / "b.zkf")
+    container.write(pa, container.KmerSet(k=k, keys=a_keys, counts=a_c))
+    container.write(pb, container.KmerSet(k=k, keys=b_keys, counts=b_c))
+    out = str(tmp_path / "u.zkf")
+    assert run_cli("union", "--stream", "--shards", 8, out, pa, pb) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ks = container.read(out)
+    want_k, want_c = G.union((a_keys, a_c), (b_keys, b_c))
+    assert np.array_equal(ks.keys, want_k)
+    assert np.array_equal(ks.counts, want_c)
+    assert row["cards"]["union"] == len(want_k)

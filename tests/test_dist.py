@@ -643,3 +643,71 @@ def test_jaccard_sharded_matches_host(rng):
     assert (r["a"], r["b"], r["intersect"], r["union"]) == (
         len(a_keys), len(b_keys), ni, nu)
     assert r["jaccard"] == pytest.approx(ni / nu)
+
+
+def test_set_op_sharded_stream_byte_equal(rng, tmp_path):
+    """VERDICT round 4 item 4: the ChunkReader-streamed sharded set op must
+    be byte-equal to the in-RAM sharded path (and so to single-chip) at a
+    chunk size small enough to force many chunks per shard."""
+    from zotpu.io import container
+    from zotpu.workloads import setops as WS
+
+    k = 25
+    a_keys = np.unique(rng.integers(0, 1 << (2 * k), 6000, dtype=np.uint64))
+    b_keys = np.unique(np.concatenate([
+        a_keys[rng.random(len(a_keys)) < 0.4],
+        rng.integers(0, 1 << (2 * k), 5000, dtype=np.uint64)]))
+    a_c = rng.integers(1, 90, len(a_keys)).astype(np.uint32)
+    b_c = rng.integers(1, 90, len(b_keys)).astype(np.uint32)
+    pa, pb = str(tmp_path / "a.zkf"), str(tmp_path / "b.zkf")
+    container.write(pa, container.KmerSet(k=k, keys=a_keys, counts=a_c))
+    container.write(pb, container.KmerSet(k=k, keys=b_keys, counts=b_c),
+                    codec="zlib")   # streamed decode must work per codec
+    n_int = len(np.intersect1d(a_keys, b_keys))
+    for op in ("union", "intersect", "diff"):
+        want_k, want_c = WS.set_op((a_keys, a_c), (b_keys, b_c), op=op)
+        kk, got_k, got_c, cards = WS.set_op_sharded_stream(
+            pa, pb, op, 8, chunk=512)
+        assert kk == k
+        assert np.array_equal(got_k, want_k), op
+        assert np.array_equal(got_c, want_c), op
+        assert cards["intersect"] == n_int
+        assert cards["a"] == len(a_keys) and cards["b"] == len(b_keys)
+
+
+def test_set_op_sharded_stream_k_mismatch(rng, tmp_path):
+    from zotpu.io import container
+    from zotpu.workloads import setops as WS
+
+    ka = np.unique(rng.integers(0, 1 << 30, 100, dtype=np.uint64))
+    container.write(str(tmp_path / "a.zkf"),
+                    container.KmerSet(k=17, keys=ka,
+                                      counts=np.ones(len(ka), np.uint32)))
+    container.write(str(tmp_path / "b.zkf"),
+                    container.KmerSet(k=19, keys=ka,
+                                      counts=np.ones(len(ka), np.uint32)))
+    with pytest.raises(ValueError, match="K mismatch"):
+        WS.set_op_sharded_stream(str(tmp_path / "a.zkf"),
+                                 str(tmp_path / "b.zkf"), "union", 8)
+
+
+def test_partition_cache_reused_across_pairs(rng):
+    """VERDICT round 4 item 7: an N-way matrix partitions each set ONCE.
+    The cache must hold one entry per (set, shard-count) and return
+    identical results on reuse."""
+    from zotpu.workloads import setops as WS
+
+    k = 19
+    sets = [np.unique(rng.integers(0, 1 << (2 * k), 1200, dtype=np.uint64))
+            for _ in range(3)]
+    cache: dict = {}
+    got = {}
+    for i in range(3):
+        for j in range(i + 1, 3):
+            got[(i, j)] = WS.jaccard_sharded(sets[i], sets[j], k, 8,
+                                             cache=cache)
+    assert len(cache) == 3          # one partition per set, not per pair
+    for (i, j), r in got.items():
+        ni = len(np.intersect1d(sets[i], sets[j]))
+        nu = len(np.union1d(sets[i], sets[j]))
+        assert (r["intersect"], r["union"]) == (ni, nu), (i, j)

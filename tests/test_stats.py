@@ -132,10 +132,11 @@ def test_bench_cli_small(capsys):
     names = {r["workload"] for r in recs}
     assert {"kmerize", "setops_merge", "kmerize_scaling",
             "kmerize_shard_model", "kmerize_shard_sensitivity",
-            "kmerize_sustained", "host_parse_gz", "kmerize_e2e"} <= names
+            "kmerize_sustained", "host_parse_gz", "kmerize_e2e",
+            "scan_shard_model", "setops_shard_model"} <= names
     sens = next(r for r in recs
                 if r["workload"] == "kmerize_shard_sensitivity")
     assert sens["second_round_overhead"] > 0
-    assert len(sens["load_sweep"]) == 3
+    assert len(sens["load_sweep"]) == 5      # round 5: 4x 2x 1x 1/2 1/4
     e2e = next(r for r in recs if r["workload"] == "kmerize_e2e")
     assert e2e["bases"] > 0 and e2e["unique"] > 0

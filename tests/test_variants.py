@@ -465,3 +465,28 @@ def test_tx_spliced_genomic_roundtrip_property():
             assert (g2 > g) == (t.strand == "+")
 
     check()
+
+
+def test_evidence_out_reads_min_hits_zero_streams_all(tmp_path, ref, capsys):
+    """ADVICE round 4: --min-hits 0 qualifies every read for every variant,
+    so the writer streams ONE parse pass into all variant files instead of
+    buffering the sample in RAM; each file must hold the whole sample."""
+    path, seq = ref
+    base = seq[249]
+    other = "G" if base != "G" else "T"
+    spec = f"chr1:g.250{base}>{other}"
+    panel = tmp_path / "panel.zkf"
+    assert run_cli("probes", "-k", 15, path, panel, spec) == 0
+    fq = tmp_path / "alt.fastq"
+    assert run_cli("spikein", path, fq, spec, "--vaf", "0.5",
+                   "--coverage", "20", "--seed", "5") == 0
+    capsys.readouterr()
+    n_reads = sum(1 for ln in open(fq) if ln.startswith("@"))
+    outdir = tmp_path / "allreads"
+    assert run_cli("evidence", panel, fq, "--host", "--min-hits", 0,
+                   "--out-reads", outdir) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["supporting_reads"][spec] == n_reads
+    files = list(outdir.iterdir())
+    assert len(files) == 1
+    assert len(files[0].read_text().strip().splitlines()) == 4 * n_reads

@@ -21,6 +21,52 @@ def _synth_codes(rng, reads, length):
     return rng.integers(0, 4, size=(reads, length), endpoint=False).astype(np.uint8)
 
 
+class _Fixture:
+    """Read-batch generator for the device benches (VERDICT round 4 item 1).
+
+    kind="uniform": i.i.d. random bases -- dedup ratio ~1, the unique set
+    grows without bound (the round-1..4 fixture; cheapest operating point
+    for dedup/count-combine, worst-case growth for the accumulator).
+
+    kind="coverage": the E. coli-shaped workload BASELINE config 1 names --
+    reads drawn from ONE deterministic synthetic genome (default sized so
+    the whole run is ~30x coverage) with a 0.5% per-base substitution error
+    rate. Real duplicate segments exercise the count-combine paths at a
+    realistic dedup ratio, and the accumulator's unique set saturates near
+    genome size plus the error tail instead of growing linearly.
+    """
+
+    def __init__(self, kind: str, seed: int = 0,
+                 genome_bases: int | None = None,
+                 total_bases: int | None = None,
+                 error_rate: float = 0.005):
+        if kind not in ("uniform", "coverage"):
+            raise ValueError(f"unknown fixture {kind!r}")
+        self.kind = kind
+        self.rng = np.random.default_rng(seed)
+        self.error_rate = error_rate
+        self.genome = None
+        if kind == "coverage":
+            if genome_bases is None:
+                # size the genome for ~30x over the run's total bases
+                genome_bases = max((total_bases or (1 << 25)) // 30, 1 << 20)
+            self.genome = self.rng.integers(0, 4, size=genome_bases,
+                                            dtype=np.int64)
+
+    def codes(self, reads: int, length: int) -> np.ndarray:
+        if self.kind == "uniform":
+            return _synth_codes(self.rng, reads, length)
+        offs = self.rng.integers(0, len(self.genome) - length, reads)
+        codes = self.genome[offs[:, None]
+                            + np.arange(length)[None, :]].astype(np.uint8)
+        n_err = int(reads * length * self.error_rate)
+        if n_err:
+            er = self.rng.integers(0, reads, n_err)
+            ec = self.rng.integers(0, length, n_err)
+            codes[er, ec] = self.rng.integers(0, 4, n_err).astype(np.uint8)
+        return codes
+
+
 def _amortized_time(dispatch, fence, repeats: int = 3, n: int = 4):
     """Per-dispatch seconds with the host-sync latency amortized away:
     min-of-repeats time(N dispatches + 1 fence) vs (1 dispatch + 1 fence);
@@ -61,12 +107,13 @@ def _amortized_time(dispatch, fence, repeats: int = 3, n: int = 4):
 
 
 def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
-                  repeats: int = 3) -> dict:
+                  repeats: int = 3, fixture: str = "uniform",
+                  fx: "_Fixture | None" = None) -> dict:
     from zotpu.io import wire
 
-    rng = np.random.default_rng(0)
+    fx = fx or _Fixture(fixture, total_bases=8 * total_bases)
     reads = max(total_bases // read_len, 1)
-    pw, mw = wire.pack_codes(_synth_codes(rng, reads, read_len))
+    pw, mw = wire.pack_codes(fx.codes(reads, read_len))
     pw, mw = jnp.asarray(pw), jnp.asarray(mw)
     lengths = jnp.full(reads, read_len, jnp.int32)
 
@@ -93,6 +140,7 @@ def bench_kmerize(total_bases: int, k: int = 25, read_len: int = 256,
     kmers = reads * (read_len - k + 1)
     return {
         "workload": "kmerize", "k": k, "bases": bases,
+        "fixture": fx.kind,
         "seconds": dt,
         "seconds_single_sync": dt_sync,
         "bases_per_s": bases / dt,
@@ -196,6 +244,113 @@ def bench_scan(n_reads: int = 1 << 17, read_len: int = 256, k: int = 25,
     }
 
 
+def bench_scan_shard_model(n_reads: int = 1 << 17, read_len: int = 256,
+                           k: int = 25, panel_size: int = 1 << 20,
+                           repeats: int = 3) -> dict:
+    """Host-scale composition for BASELINE config 5 (VERDICT round 4
+    missing item 2): the FULL sharded pulldown program at D=1 on this chip
+    -- panel partition, k-mer routing with global read-row ids, per-shard
+    sort-merge join, psum'd per-row hits -- timed dispatch-amortized; the
+    8-chip host line composes as 8 x the per-chip probe rate at the same
+    0.8 efficiency floor as the kmerize headline (the psum'd (R,) i32 hit
+    vector is the only cross-chip traffic beyond the k-mer all-to-all,
+    whose per-chip volume is reported for the ICI budget)."""
+    from zotpu.dist import mesh as M
+    from zotpu.dist import shuffle
+    from zotpu.io import wire
+    from zotpu.reference_impl import golden as G
+
+    rng = np.random.default_rng(2)
+    # same realistic mix as bench_scan: ~5% genomic reads seeding part of
+    # the panel, so live hits flow through the aggregation
+    genome = rng.integers(0, 4, size=100_000, endpoint=False).astype(np.uint8)
+    gkeys, _ = G.kmerize(k, [genome])
+    panel = np.unique(np.concatenate([
+        gkeys, rng.integers(0, 1 << (2 * k), panel_size,
+                            dtype=np.uint64).astype(np.uint64)]))
+    codes = _synth_codes(rng, n_reads, read_len)
+    src = n_reads // 20
+    offs = rng.integers(0, len(genome) - read_len, src)
+    for i, off in enumerate(offs):
+        codes[i * 20] = genome[off:off + read_len]
+    pw, mw = wire.pack_codes(codes)
+    pw, mw = jnp.asarray(pw), jnp.asarray(mw)
+    lengths = jnp.full(n_reads, read_len, jnp.int32)
+
+    mesh = M.make_mesh(1)
+    phi, plo, cap = shuffle.partition_panel(panel, k, 1)
+    step = shuffle.make_pulldown_step(mesh, k, n_reads, read_len, cap,
+                                      capacity_factor=1.05, wire=True)
+
+    @jax.jit
+    def prog(pw, mw, l, phi, plo):
+        row_hits, overflow = step(pw, mw, l, phi, plo)
+        return jnp.sum(row_hits) + jnp.sum(overflow)
+
+    def fence(r):
+        return int(np.asarray(r))
+
+    total_hits = fence(prog(pw, mw, lengths, phi, plo))  # compile + warmup
+    dt, dt_sync = _amortized_time(lambda: prog(pw, mw, lengths, phi, plo),
+                                  fence, repeats=repeats)
+    kmers = n_reads * (read_len - k + 1)
+    return {
+        "workload": "scan_shard_model", "k": k, "panel": len(panel),
+        "kmers_probed": kmers, "total_hits": total_hits,
+        "t_sharded_step_s": dt, "t_single_sync_s": dt_sync,
+        "kmers_per_s_chip": kmers / dt,
+        "alltoall_bytes_per_chip": kmers * 12,   # (hi, lo, tag) u32 triple
+        "host8_kmers_per_s_at_0.8_eff": kmers / dt * 8 * 0.8,
+        "ici_gbps_needed_for_0.8_eff": kmers * 12 / (dt / 4) / 1e9,
+    }
+
+
+def bench_setops_shard_model(n: int = 1 << 24, k: int = 25,
+                             repeats: int = 3) -> dict:
+    """Host-scale composition for BASELINE config 3 (VERDICT round 4
+    missing item 2): the sharded set-op program -- shard_map over the mesh,
+    per-shard fused merge+combine+compact kernel, psum'd cardinalities --
+    measured at D=1 on this chip with 2 x 16M keys PER SHARD (what each of
+    8 shards runs concurrently on an 8-chip host over a 2 x 128M-key pair),
+    timed dispatch-amortized. Host line = 8 x the per-shard byte rate at
+    the kmerize headline's 0.8 efficiency floor; the only cross-chip
+    traffic is the 3-scalar psum (key-prefix partition means shard slices
+    never talk), so the floor is extremely conservative here."""
+    from zotpu.workloads.setops import (_partition_sorted_prefix,
+                                        _sharded_setop_fn)
+
+    rng = np.random.default_rng(1)
+
+    def mk():
+        keys = np.unique(rng.integers(0, 1 << (2 * k), size=n)
+                         .astype(np.uint64))
+        return keys, np.ones(len(keys), np.uint32)
+
+    a_keys, a_c = mk()
+    b_keys, b_c = mk()
+    ahi, alo, ac = (jnp.asarray(x) for x in
+                    _partition_sorted_prefix(a_keys, a_c, k, 1))
+    bhi, blo, bc = (jnp.asarray(x) for x in
+                    _partition_sorted_prefix(b_keys, b_c, k, 1))
+    fn = _sharded_setop_fn("merge", 1)
+
+    def dispatch():
+        return fn(ahi, alo, ac, bhi, blo, bc)
+
+    def fence(out):
+        return int(np.asarray(out[4]).sum())
+
+    fence(dispatch())  # compile + warmup
+    dt, dt_sync = _amortized_time(dispatch, fence, repeats=repeats)
+    bytes_shard = (len(a_keys) + len(b_keys)) * 12
+    return {
+        "workload": "setops_shard_model", "n_per_shard": 2 * n,
+        "t_shard_step_s": dt, "t_single_sync_s": dt_sync,
+        "gb_per_s_shard": bytes_shard / dt / 1e9,
+        "host8_gb_per_s_at_0.8_eff": bytes_shard / dt / 1e9 * 8 * 0.8,
+    }
+
+
 def run(args) -> int:
     # optional size overrides (tests shrink these; CLI uses full defaults)
     setops_n = getattr(args, "setops_n", None) or (1 << 24)
@@ -212,6 +367,13 @@ def run(args) -> int:
     if args.workload in ("scan", "all"):
         results.append(bench_scan(n_reads=scan_reads, panel_size=scan_panel,
                                   repeats=args.repeats, k=args.k))
+    if args.workload in ("scan-shard-model", "all"):
+        results.append(bench_scan_shard_model(
+            n_reads=scan_reads, panel_size=scan_panel,
+            repeats=args.repeats, k=args.k))
+    if args.workload in ("setops-shard-model", "all"):
+        results.append(bench_setops_shard_model(n=setops_n,
+                                                repeats=args.repeats))
     if args.workload in ("scaling", "all"):
         results.extend(bench_scaling(repeats=args.repeats))
     if args.workload in ("shard-model", "all"):
@@ -284,7 +446,8 @@ def bench_scaling(reads_per_chip: int = 512, read_len: int = 256, k: int = 25,
 
 def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
                       read_len: int = 256, repeats: int = 3,
-                      progress=None) -> dict:
+                      progress=None, fixture: str = "uniform",
+                      acc_batches: int = 8) -> dict:
     """Measured grounding for the multi-chip projection (BASELINE metric 3).
 
     This rig exposes ONE chip, and an 8-fake-device CPU mesh measures host
@@ -313,15 +476,22 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
     from zotpu.dist import shuffle
     from zotpu.io import wire
 
-    rng = np.random.default_rng(0)
+    # ONE fixture generator feeds the step/tree codes AND (via
+    # bench_kmerize/bench_sustained below, each building their own
+    # same-kind fixture) the plain and accumulator terms, so every model
+    # term reflects the same workload shape. fixture="coverage" is the
+    # E. coli-shaped 30x regime (VERDICT round 4 item 1); the genome here
+    # is sized for a 30x run of acc_batches host batches.
+    fx = _Fixture(fixture, total_bases=acc_batches * total_bases)
     reads = max(total_bases // read_len, 1)
-    codes = _synth_codes(rng, reads, read_len)
+    codes = fx.codes(reads, read_len)
     lengths = jnp.asarray(np.full(reads, read_len, np.int32))
     mesh = M.make_mesh(1)
     kmers = reads * (read_len - k + 1)
     bytes_each_way = kmers * 8           # (hi, lo) u32 pair per k-mer
     out = {"workload": "kmerize_shard_model", "k": k,
-           "bases": reads * read_len, "kmers": kmers,
+           "bases": reads * read_len, "kmers": kmers, "fixture": fx.kind,
+           "acc_batches": acc_batches,
            "alltoall_bytes_per_chip": bytes_each_way}
 
     def emit():
@@ -341,9 +511,11 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
         out["host8_bases_per_s_at_0.8_eff"] = reads * read_len / t8 * 8 * 0.8
         out["ici_gbps_needed_for_0.8_eff"] = bytes_each_way / (t8 / 4) / 1e9
 
-    # stage 1: the plain single-chip step (feeds the fallback headline)
+    # stage 1: the plain single-chip step (feeds the fallback headline);
+    # shares this model's fixture generator so its genome matches the
+    # acc_batches-sized run the sustained term models
     plain = bench_kmerize(total_bases, k=k, read_len=read_len,
-                          repeats=repeats)
+                          repeats=repeats, fx=fx)
     out["t_plain_s"] = plain["seconds"]
     out["plain_bases_per_s"] = plain["bases_per_s"]
     out["plain_seconds_single_sync"] = plain["seconds_single_sync"]
@@ -455,7 +627,8 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
         from zotpu.kernels.dispatch import use_pallas as _up
         if _up():
             su = bench_sustained(total_bases=total_bases, k=k,
-                                 read_len=read_len)
+                                 read_len=read_len, batches=acc_batches,
+                                 fixture=fixture)
             out["sustained_per_batch_s"] = su["per_batch_s"]
             out["sustained_bases_per_s"] = su["bases_per_s"]
             out["t_acc_amortized8_s"] = max(
@@ -498,12 +671,12 @@ def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
             compact=False, wire=True,
             force_second_round=force_second_round)
         fence(step(pw, mw, lengths))  # compile + warmup
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fence(step(pw, mw, lengths))
-            times.append(time.perf_counter() - t0)
-        return min(times)
+        # dispatch-amortized slope, same timing discipline as the headline
+        # model's step term, so the load sweep directly predicts how the
+        # headline moves with batch size (round 5)
+        dt, _ = _amortized_time(lambda: step(pw, mw, lengths), fence,
+                                repeats=repeats)
+        return dt
 
     reads = max(total_bases // read_len, 1)
     # force_second_round=True for BOTH sides so the program structure is
@@ -512,10 +685,18 @@ def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
     # 0.85 ~15% of entries take the second round.
     t_gated = measure(reads, 1.03, True)
     t_taken = measure(reads, 0.85, True)
+    # per-chip-load sweep now goes UP as well as down (VERDICT round 4 item
+    # 2: the round-3 sweep only went down from 33.5 Mbase while its own
+    # trend showed throughput still rising with batch size -- fixed
+    # per-batch overheads amortize further at 67/134 Mbase, HBM permitting)
     sweep = []
-    for frac in (1, 2, 4):
-        r = reads // frac
-        t = t_gated if frac == 1 else measure(r, 1.03, True)
+    for num, den in ((4, 1), (2, 1), (1, 1), (1, 2), (1, 4)):
+        r = reads * num // den
+        try:
+            t = t_gated if (num, den) == (1, 1) else measure(r, 1.03, True)
+        except Exception as e:          # OOM at the top sizes: record why
+            sweep.append({"bases": r * read_len, "error": str(e)[:200]})
+            continue
         sweep.append({"bases": r * read_len, "seconds": t,
                       "bases_per_s": r * read_len / t})
     return {
@@ -529,7 +710,9 @@ def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
 
 
 def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
-                    read_len: int = 256, batches: int = 8) -> dict:
+                    read_len: int = 256, batches: int = 8,
+                    fixture: str = "uniform",
+                    max_cap: int | None = None) -> dict:
     """SUSTAINED single-chip device rate: per-batch step + the LSM
     accumulator merges it amortizes over (round 3). The headline step
     excludes the accumulator; at B batches each element is merged
@@ -538,18 +721,29 @@ def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
     docs/PERF_NOTES.md round 1). With the dense dedup-compact step output,
     every level merges through the streaming fused kernel. Reported:
     bases/s over ``batches`` distinct device-resident batches, all LSM
-    merges included, final result transfer excluded."""
+    merges included, final result transfer excluded.
+
+    ``batches`` declares the run length the amortized term reflects (the
+    amortized merge cost grows ~log B for all-unique input -- VERDICT round
+    4 item 1 demands it be measured, not assumed); ``fixture="coverage"``
+    draws every batch from ONE ~30x genome (sized batches*total_bases/30)
+    so the unique set saturates the way a real WGS run's does."""
     from zotpu.io import wire
     from zotpu.workloads.accumulator import DeviceAccumulator
     from zotpu.kernels.sortdedup import kmer_dedup_dense
 
-    rng = np.random.default_rng(0)
+    if max_cap is None:
+        # room for the run's unique set: a >16-batch uniform (or error-
+        # tail-heavy coverage) run outgrows 2^27 unique keys; 2^28 rows x
+        # 12 B across the top two LSM levels still fits v5e HBM
+        max_cap = (1 << 28) if batches > 16 else (1 << 27)
+    fx = _Fixture(fixture, total_bases=batches * total_bases)
     reads = max(total_bases // read_len, 1)
     # distinct batches (varied content) so merges do real combining work;
     # keep them device-resident (H2D excluded -- this is the device rate)
     devb = []
     for _ in range(batches):
-        pw, mw = wire.pack_codes(_synth_codes(rng, reads, read_len))
+        pw, mw = wire.pack_codes(fx.codes(reads, read_len))
         devb.append((jnp.asarray(pw), jnp.asarray(mw)))
     lengths = jnp.full(reads, read_len, jnp.int32)
 
@@ -560,7 +754,7 @@ def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
 
     def run_once():
         acc = DeviceAccumulator(step(*devb[0], lengths)[0].shape[0],
-                                max_cap=1 << 27)
+                                max_cap=max_cap)
         for pw, mw in devb:
             out = step(pw, mw, lengths)
             acc.add(*out, dense=kmer_dedup_dense())
@@ -584,6 +778,8 @@ def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
     bases = batches * reads * read_len
     return {
         "workload": "kmerize_sustained", "k": k, "batches": batches,
+        "fixture": fx.kind,
+        "genome_bases": len(fx.genome) if fx.genome is not None else None,
         "bases": bases, "seconds": dt,
         "bases_per_s": bases / dt,
         "per_batch_s": dt / batches,
@@ -626,10 +822,10 @@ def bench_parse(total_bases: int = 1 << 27, k: int = 25, read_len: int = 256,
             paths.append(p)
         gz_bytes = sum(os.path.getsize(p) for p in paths)
 
-        def drain(parallel):
+        def drain(parallel, ps=None):
             stats = Stats()
             t0 = time.perf_counter()
-            for _ in _iter_batches(paths, 131072, read_len, k, stats,
+            for _ in _iter_batches(ps or paths, 131072, read_len, k, stats,
                                    wire_pack=True, parallel=parallel):
                 pass
             return stats.bases, time.perf_counter() - t0
@@ -641,6 +837,29 @@ def bench_parse(total_bases: int = 1 << 27, k: int = 25, read_len: int = 256,
         bases_par, t_par = min((drain(True) for _ in range(2)),
                                key=lambda r: r[1])
         assert bases_par == bases_seq
+
+        # ONE BGZF file (VERDICT round 4 item 6): a single plain-gzip
+        # stream is serial to inflate, but bgzip blocks inflate in the
+        # worker pool -- the common single-file .fastq.gz delivery no
+        # longer caps at one core. Fixture: same reads, bgzip-blocked.
+        from zotpu.io import bgzf as BG
+        import gzip as _gz
+        raw = []
+        for p in paths:
+            with _gz.open(p, "rb") as f:
+                raw.append(f.read())
+        bz = os.path.join(d, "one.fastq.gz")
+        BG.write_bgzf(bz, b"".join(raw))
+        del raw
+        drain(False, [bz])               # warm page cache
+        os.environ["ZOTPU_BGZF_WORKERS"] = "1"
+        try:
+            bases_bz1, t_bz1 = drain(False, [bz])
+        finally:
+            os.environ.pop("ZOTPU_BGZF_WORKERS", None)
+        bases_bzp, t_bzp = min((drain(False, [bz]) for _ in range(2)),
+                               key=lambda r: r[1])
+        assert bases_bzp == bases_bz1 == bases_seq
     return {
         "workload": "host_parse_gz", "bases": bases_par,
         "gz_bytes": gz_bytes, "files": n_files,
@@ -650,6 +869,10 @@ def bench_parse(total_bases: int = 1 << 27, k: int = 25, read_len: int = 256,
         "seconds": t_par, "bases_per_s": bases_par / t_par,
         "sequential_bases_per_s": bases_seq / t_seq,
         "parallel_speedup": t_seq / t_par,
+        "bgzf_workers": BG.default_workers(),
+        "bgzf_single_file_bases_per_s": bases_bzp / t_bzp,
+        "bgzf_serial_bases_per_s": bases_bz1 / t_bz1,
+        "bgzf_speedup": t_bz1 / t_bzp,
     }
 
 

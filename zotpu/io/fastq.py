@@ -154,10 +154,18 @@ class _ChunkPipe:
 
 def _open_chunks(path: str):
     """Chunk source for the batched parsers; .gz pipelines inflate into its
-    own thread (ZOTPU_PIPELINE_INFLATE=1 forces it for any file, =0 off)."""
+    own thread (ZOTPU_PIPELINE_INFLATE=1 forces it for any file, =0 off).
+    BGZF (bgzip) files -- independently-inflatable gzip blocks carrying the
+    BC extra subfield -- inflate block-groups in a small thread POOL
+    instead, so one large file is no longer capped at one core's inflate
+    rate (VERDICT round 4 item 6; ZOTPU_BGZF_WORKERS sizes the pool, =1
+    reduces to the serial pipeline)."""
     import os
     mode = os.environ.get("ZOTPU_PIPELINE_INFLATE", "auto")
     if mode == "1" or (mode == "auto" and path.endswith(".gz")):
+        from zotpu.io import bgzf
+        if path != "-" and bgzf.is_bgzf(path) and bgzf.default_workers() > 1:
+            return bgzf.BgzfPipe(path)
         return _ChunkPipe(path)
     return open_file(path, "rb")
 

@@ -162,6 +162,117 @@ def run_selftest(k: int = 25, verbose_print=print,
               and tot == int(want.sum()) and rwh == int((want > 0).sum()),
               f"{tot} hits / {rwh} reads")
 
+        # --- round-5 additions (VERDICT round 4 item 5: every device path
+        # that lands enters the gate the round it lands) ---
+
+        # largest power-of-two shard count this backend can host (1 on the
+        # real single-chip rig; 8 on the CPU gate tests / future pods)
+        D = 1
+        while D * 2 <= min(len(jax.devices()), 8):
+            D *= 2
+
+        # sharded set op + jaccard with psum'd cardinalities (round 4's
+        # --shards path; at D=1 still the shard_map + psum program on the
+        # live backend)
+        guard()
+        gi_k, _ = G.intersect((gk_a, gc_a), (gk_b, gc_b))
+        gu_k, gu_c = G.union((gk_a, gc_a), (gk_b, gc_b))
+        sk, sc, cards = WS.set_op_sharded((keys_a, cnt_a), (keys_b, cnt_b),
+                                          "union", k, D)
+        jac = WS.jaccard_sharded(keys_a, keys_b, k, D)
+        check("sharded_setop_psum",
+              np.array_equal(sk, gu_k) and np.array_equal(sc, gu_c)
+              and cards["intersect"] == len(gi_k)
+              and jac["intersect"] == len(gi_k)
+              and jac["union"] == len(gu_k), f"D={D}")
+
+        # chunk-streamed sharded set op (round 5: ChunkReader partition one
+        # shard at a time; tiny chunk forces many chunks per shard)
+        guard()
+        pa = os.path.join(d, "a.zkf")
+        pb = os.path.join(d, "b.zkf")
+        from zotpu.io import container as C
+        C.write(pa, C.KmerSet(k=k, keys=keys_a, counts=cnt_a))
+        C.write(pb, C.KmerSet(k=k, keys=keys_b, counts=cnt_b))
+        kk, sk2, sc2, cards2 = WS.set_op_sharded_stream(pa, pb, "union", D,
+                                                        chunk=2048)
+        check("sharded_setop_stream",
+              kk == k and np.array_equal(sk2, gu_k)
+              and np.array_equal(sc2, gu_c)
+              and cards2["intersect"] == len(gi_k))
+
+        # chunk-streamed merge: container chunks -> DeviceAccumulator dense
+        # level merges on the live backend (the cmd_merge path)
+        guard()
+        import argparse
+
+        from zotpu import cli as CLI
+        pm = os.path.join(d, "m.zkf")
+        old_chunk = os.environ.get("ZOTPU_MERGE_CHUNK")
+        os.environ["ZOTPU_MERGE_CHUNK"] = "4096"
+        try:
+            CLI.cmd_merge(argparse.Namespace(
+                host=False, inputs=[pa, pb], output=pm, codec=None,
+                merge_capacity=1 << 22))
+        finally:
+            if old_chunk is None:
+                os.environ.pop("ZOTPU_MERGE_CHUNK", None)
+            else:
+                os.environ["ZOTPU_MERGE_CHUNK"] = old_chunk
+        ms = C.read(pm)
+        wmk, wmc = G.merge([(gk_a, gc_a), (gk_b, gc_b)])
+        check("merge_chunk_streamed",
+              np.array_equal(ms.keys, wmk) and np.array_equal(ms.counts, wmc))
+
+        # spill/resume layout-stamp rejection (host logic, ~free): stale-k
+        # and different-mode spills must be recomputed, matching loads kept
+        from zotpu.workloads.kmerize import _load_run_if_valid
+        ps = os.path.join(d, "run000001.zkf")
+        stamp = {"k": k, "batch_reads": 256, "max_len": 128}
+        C.write(ps, C.KmerSet(k=k, keys=keys_a[:4], counts=cnt_a[:4],
+                              meta={"run": 1, **stamp}))
+        ok_st = _load_run_if_valid(ps, stamp) is not None
+        ok_st &= _load_run_if_valid(ps, {**stamp, "k": k + 2}) is None
+        C.write(ps, C.KmerSet(k=k, keys=keys_a[:4], counts=cnt_a[:4],
+                              meta={"run": 1, **stamp, "n_shards": 8}))
+        ok_st &= _load_run_if_valid(ps, stamp) is None
+        check("spill_stamp_rejection", ok_st)
+
+        # mixed-hash sharded kmerize step (owner EMBEDDED in spare key bits
+        # + strip after routing): the embedding only exists at D >= 2 (at
+        # D=1 p_bits=0 degenerates to the prefix path), so this check is
+        # adaptive -- real coverage on any multi-device backend, an explicit
+        # skip note on a 1-chip rig
+        if D >= 2:
+            guard()
+            from zotpu.dist import mesh as M2
+            from zotpu.dist import shuffle as SH
+            from zotpu.io import wire as WI
+            codes_m = np.stack([G.encode(r) for r in reads_a])
+            # pad rows to a multiple of D chips
+            rpc = -(-len(reads_a) // D)
+            pad_r = D * rpc - len(reads_a)
+            codes_m = np.concatenate([codes_m, np.full(
+                (pad_r, 128), 4, np.uint8)]) if pad_r else codes_m
+            lengths_m = np.concatenate([np.full(len(reads_a), 128, np.int32),
+                                        np.zeros(pad_r, np.int32)])
+            pw_m, mw_m = WI.pack_codes(codes_m)
+            step_m, _ = SH.make_kmerize_step(
+                M2.make_mesh(D), k, rpc, 128, capacity_factor=4.0,
+                compact=True, wire=True, shard_hash="mixed")
+            uhi, ulo, counts, nn, ovf, _ = step_m(pw_m, mw_m, lengths_m)
+            okm = int(np.asarray(ovf).sum()) == 0
+            gk2, gc2 = SH.gather_global(uhi, ulo, counts, nn, reorder=True)
+            okm &= (np.array_equal(gk2, gk_a)
+                    and np.array_equal(gc2.astype(np.uint32), gc_a))
+            check("mixed_hash_sharded_step", okm, f"D={D}")
+        else:
+            verbose_print(json.dumps({
+                "check": "mixed_hash_sharded_step", "skipped":
+                "1-device backend: owner embedding exists only at D >= 2 "
+                "(p_bits=0 degenerates to the prefix path); covered by the "
+                "8-fake-device suite and any multi-chip rig's gate"}))
+
       # sharded step with the receive tree + fused dedup on ONE chip
       # (force_second_round): gated-off AND taken overflow rounds.
       # guard() runs BEFORE each chunk of device work, never after the

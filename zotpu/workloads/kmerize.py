@@ -284,12 +284,20 @@ _STAMP_KEYS = ("k", "batch_reads", "max_len", "process_count",
 
 
 def _load_run_if_valid(path, stamp):
-    """Read a spill run iff its layout stamp matches; None = recompute."""
+    """Read a spill run iff its layout stamp matches; None = recompute.
+
+    The match is exact over _STAMP_KEYS, not a subset check: a file whose
+    meta carries a layout key ABSENT from the caller's stamp (e.g. a
+    single-controller sharded run's ``n_shards`` found by a later plain
+    resume with a same-k/batch_reads/max_len stamp) covers a different
+    batch layout and must be recomputed (ADVICE round 4)."""
     if not os.path.exists(path):
         return None
     ks = container.read(path)
     if any(ks.meta.get(key) != val for key, val in stamp.items()):
         return None                           # stale layout: recompute
+    if any(key in ks.meta and key not in stamp for key in _STAMP_KEYS):
+        return None                           # different-MODE spill: recompute
     return ks
 
 

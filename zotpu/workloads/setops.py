@@ -74,20 +74,32 @@ def jaccard(a_keys: np.ndarray, b_keys: np.ndarray) -> dict:
 # are psum'd on the mesh -- the set data never has to fit one chip's HBM.
 
 
-def _partition_sorted_prefix(keys, counts, k: int, n_shards: int):
-    """Split one sorted set into (D, cap) sentinel-padded shard rows by key
-    prefix (searchsorted on the D prefix boundaries -- contiguous slices)."""
+def _prefix_edges(k: int, n_shards: int) -> np.ndarray:
+    """The D-1 key values where shard ownership changes (key-prefix
+    sharding: shard d owns keys in [edges[d-1], edges[d]))."""
     from zotpu.dist.mesh import shard_bits
 
     p = shard_bits(n_shards)
+    return ((np.arange(1, n_shards, dtype=np.uint64)
+             << np.uint64(2 * k - p)) if p else np.empty(0, np.uint64))
+
+
+def _pow2_cap(max_size: int) -> int:
+    """Shared cap rule for (D, cap) shard rows: next power of two, min 8.
+    One definition so the in-RAM and streamed partitions compile the SAME
+    kernel shapes (and stay byte-equal by construction)."""
+    return max(1 << (max(int(max_size), 1) - 1).bit_length(), 8)
+
+
+def _partition_sorted_prefix(keys, counts, k: int, n_shards: int):
+    """Split one sorted set into (D, cap) sentinel-padded shard rows by key
+    prefix (searchsorted on the D prefix boundaries -- contiguous slices)."""
     keys = np.asarray(keys, np.uint64)
-    edges = (np.arange(1, n_shards, dtype=np.uint64)
-             << np.uint64(2 * k - p)) if p else np.empty(0, np.uint64)
+    edges = _prefix_edges(k, n_shards)
     bounds = np.concatenate([[0], np.searchsorted(keys, edges), [len(keys)]]
                             ).astype(np.int64)
     sizes = np.diff(bounds)
-    cap = max(1 << (max(int(sizes.max()) if len(sizes) else 1, 1) - 1)
-              .bit_length(), 8)
+    cap = _pow2_cap(sizes.max() if len(sizes) else 1)
     hi = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
     lo = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
     c = np.zeros((n_shards, cap), np.uint32)
@@ -97,6 +109,30 @@ def _partition_sorted_prefix(keys, counts, k: int, n_shards: int):
         hi[d, :m], lo[d, :m] = S.split_hi_lo(keys[seg])
         c[d, :m] = counts[seg]
     return hi, lo, c
+
+
+def _partition_cached(keys, counts, k: int, n_shards: int, cache):
+    """Device-resident (D, cap) partition of one sorted set, memoized across
+    pairwise calls (VERDICT round 4 item 7: an N-way jaccard matrix used to
+    repartition every set O(N) times -- O(N^2 * n) host copies on big
+    panels). Keyed by array identity; the cache entry holds a reference to
+    the arrays so their ids cannot be recycled while cached. The DEVICE
+    arrays are what's cached, so repeated pairs skip the H2D upload too.
+    ``counts=None`` means all-ones (the jaccard form)."""
+    import jax.numpy as jnp
+
+    def part():
+        c = np.ones(len(keys), np.uint32) if counts is None else counts
+        hi, lo, cc = _partition_sorted_prefix(keys, c, k, n_shards)
+        return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cc)
+
+    if cache is None:
+        return part()
+    ck = (id(keys), None if counts is None else id(counts), k, n_shards)
+    hit = cache.get(ck)
+    if hit is None:
+        cache[ck] = hit = (keys, counts, part())
+    return hit[2]
 
 
 _SETOP_FN_CACHE: dict = {}
@@ -147,7 +183,7 @@ def _sharded_setop_fn(op: str, n_shards: int):
 
 def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
                    b: tuple[np.ndarray, np.ndarray], op: str, k: int,
-                   n_shards: int, gather: bool = True
+                   n_shards: int, gather: bool = True, cache: dict | None = None
                    ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Key-prefix-sharded set op across ``n_shards`` devices.
 
@@ -162,15 +198,16 @@ def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
     ``gather=False`` skips the full (D, cap) result transfer and the host
     reconstruction entirely and returns (None, None, cards) -- the right
     form for cardinality-only queries (jaccard), where the D2H of a
-    multi-GB result set would be pure waste."""
-    import jax.numpy as jnp
+    multi-GB result set would be pure waste.
 
-    ahi, alo, ac = _partition_sorted_prefix(a[0], a[1], k, n_shards)
-    bhi, blo, bc = _partition_sorted_prefix(b[0], b[1], k, n_shards)
+    ``cache`` (a plain dict the caller owns) memoizes each set's device
+    partition across calls, so an N-way matrix partitions + uploads each
+    set once instead of once per pair. A side's counts may be None
+    (all-ones -- the jaccard form)."""
+    ahi, alo, ac = _partition_cached(a[0], a[1], k, n_shards, cache)
+    bhi, blo, bc = _partition_cached(b[0], b[1], k, n_shards, cache)
     fn = _sharded_setop_fn(op, n_shards)
-    hi, lo, c, n, tot = fn(jnp.asarray(ahi), jnp.asarray(alo),
-                           jnp.asarray(ac), jnp.asarray(bhi),
-                           jnp.asarray(blo), jnp.asarray(bc))
+    hi, lo, c, n, tot = fn(ahi, alo, ac, bhi, blo, bc)
     na, nb, n_out = (int(x) for x in np.asarray(tot))
     n_int = {"merge": na + nb - n_out, "union": na + nb - n_out,
              "intersect": n_out, "diff": na - n_out}[op]
@@ -194,11 +231,131 @@ def set_op_sharded(a: tuple[np.ndarray, np.ndarray],
 
 
 def jaccard_sharded(a_keys: np.ndarray, b_keys: np.ndarray, k: int,
-                    n_shards: int) -> dict:
+                    n_shards: int, cache: dict | None = None) -> dict:
     """Similarity from psum'd per-shard cardinalities: gather=False means
-    only the three psum'd totals leave the mesh (no result-set D2H)."""
-    ones_a = np.ones(len(a_keys), np.uint32)
-    ones_b = np.ones(len(b_keys), np.uint32)
-    _, _, cards = set_op_sharded((a_keys, ones_a), (b_keys, ones_b),
-                                 "intersect", k, n_shards, gather=False)
+    only the three psum'd totals leave the mesh (no result-set D2H).
+    ``cache`` makes an N-way matrix partition/upload each set once."""
+    _, _, cards = set_op_sharded((a_keys, None), (b_keys, None),
+                                 "intersect", k, n_shards, gather=False,
+                                 cache=cache)
     return cards
+
+
+# ---------------------------------------------------------------------------
+# streamed + multi-controller sharded set ops (VERDICT round 4 item 4): the
+# in-RAM path above materializes both full key arrays on the calling host;
+# this path partitions each input straight from container.ChunkReader so no
+# host ever holds a whole set, and runs the SAME jitted shard_map program.
+
+
+def set_op_sharded_stream(path_a: str, path_b: str, op: str, n_shards: int,
+                          chunk: int = 1 << 22):
+    """Sharded set op streamed straight from two container files.
+
+    Two streaming passes per input (O(chunk) host RSS each): pass 1 counts
+    per-shard rows by searchsorted on the key-prefix edges; pass 2 fills
+    ONE shard's sentinel-padded row at a time and device_puts it to its
+    owner device before moving on -- the inputs are sorted, so shards
+    complete in order and at most one partial row buffer is ever live.
+    Peak host RSS is O(cap + chunk) per input, not O(set).
+
+    Under multi-controller (jax.distributed across hosts, every host
+    running this same call on a shared filesystem) each host builds ONLY
+    its addressable shards' rows; the (D, cap) global arrays assemble via
+    jax.make_array_from_single_device_arrays and feed the SAME jitted
+    shard_map program as set_op_sharded -- byte-equal outputs by
+    construction (same partition rule, same cap rule, same kernel).
+
+    Returns (k, keys, counts, cards): keys/counts are THIS host's shard
+    rows in shard order (= the full sorted result under a single
+    controller; multi-controller callers allgather -- see cli._binary_setop),
+    cards the psum'd cardinalities (valid on every host).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from zotpu.dist import mesh as M
+    from zotpu.dist.mesh import AXIS
+    from zotpu.dist.shuffle import gather_local_rows
+    from zotpu.io import container
+
+    mesh = M.make_mesh(n_shards)
+    devs = list(mesh.devices.flat)
+    sharding = NamedSharding(mesh, P(AXIS, None))
+    proc = jax.process_index()
+    local = {d for d in range(n_shards) if devs[d].process_index == proc}
+
+    def sizes_of(path):
+        r = container.ChunkReader(path)
+        edges = _prefix_edges(r.k, n_shards)
+        sizes = np.zeros(n_shards, np.int64)
+        for keys, _ in r.chunks(chunk):
+            b = np.concatenate([[0], np.searchsorted(keys, edges),
+                                [len(keys)]])
+            sizes += np.diff(b)
+        return r.k, sizes
+
+    def build(path, k, sizes, cap):
+        """(D, cap) global sharded (hi, lo, c); one local shard in host RAM
+        at a time."""
+        r = container.ChunkReader(path)
+        edges = _prefix_edges(k, n_shards)
+        bufs: dict[int, list] = {}   # shard -> [hi, lo, c, fill cursor]
+        done: dict[int, tuple] = {}  # shard -> per-device (1, cap) arrays
+
+        def finalize(d):
+            hi, lo, c, _ = bufs.pop(d)
+            done[d] = (jax.device_put(hi[None], devs[d]),
+                       jax.device_put(lo[None], devs[d]),
+                       jax.device_put(c[None], devs[d]))
+
+        for keys, counts in r.chunks(chunk):
+            if counts is None:
+                counts = np.ones(len(keys), np.uint32)
+            b = np.concatenate([[0], np.searchsorted(keys, edges),
+                                [len(keys)]])
+            for d in range(n_shards):
+                m = int(b[d + 1] - b[d])
+                if m == 0 or d not in local:
+                    continue
+                st = bufs.setdefault(d, [
+                    np.full(cap, 0xFFFFFFFF, np.uint32),
+                    np.full(cap, 0xFFFFFFFF, np.uint32),
+                    np.zeros(cap, np.uint32), 0])
+                cur = st[3]
+                st[0][cur:cur + m], st[1][cur:cur + m] = S.split_hi_lo(
+                    np.ascontiguousarray(keys[b[d]:b[d + 1]]))
+                st[2][cur:cur + m] = counts[b[d]:b[d + 1]]
+                st[3] = cur + m
+                if st[3] == sizes[d]:
+                    finalize(d)
+        for d in local:              # shards that saw zero rows
+            if d not in done:
+                bufs.setdefault(d, [
+                    np.full(cap, 0xFFFFFFFF, np.uint32),
+                    np.full(cap, 0xFFFFFFFF, np.uint32),
+                    np.zeros(cap, np.uint32), 0])
+                finalize(d)
+
+        def glob(i):
+            return jax.make_array_from_single_device_arrays(
+                (n_shards, cap), sharding, [done[d][i] for d in sorted(done)])
+        return glob(0), glob(1), glob(2)
+
+    ka, sa = sizes_of(path_a)
+    kb, sb = sizes_of(path_b)
+    if ka != kb:
+        raise ValueError(f"K mismatch: {path_a} has k={ka}, {path_b} k={kb}")
+    ahi, alo, ac = build(path_a, ka, sa, _pow2_cap(sa.max()))
+    bhi, blo, bc = build(path_b, kb, sb, _pow2_cap(sb.max()))
+    fn = _sharded_setop_fn(op, n_shards)
+    hi, lo, c, n, tot = fn(ahi, alo, ac, bhi, blo, bc)
+    na, nb, n_out = (int(x) for x in np.asarray(tot))
+    n_int = {"merge": na + nb - n_out, "union": na + nb - n_out,
+             "intersect": n_out, "diff": na - n_out}[op]
+    cards = {"a": na, "b": nb, "intersect": n_int,
+             "union": na + nb - n_int,
+             "jaccard": n_int / (na + nb - n_int) if na + nb - n_int else 0.0}
+    keys, counts = gather_local_rows(hi, lo, c, n)
+    return ka, keys, counts, cards
