@@ -457,32 +457,12 @@ def main():
             "vs_baseline": ssp["host8_gb_per_s_at_0.8_eff"] / 0.98 / 8,
         })
 
-    # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
-    # VERDICT round 2 item 7): the D=1 step with the overflow second round
-    # force-taken, and a per-chip-load sweep of the sharded step.
-    _log("shard-sensitivity...")
-    ss = run_workload("shard-sensitivity",
-                      f"r = harness.bench_shard_sensitivity("
-                      f"total_bases={total_bases}, k={k}, repeats=3)", tmo)
-    if ss:
-        sweep = "; ".join(f"{row['bases'] >> 20} Mbase -> "
-                          f"{row['bases_per_s'] / 1e6:.0f} Mbase/s"
-                          for row in ss["load_sweep"])
-        _stream({
-            "metric": "kmerize_sharded_second_round_overhead",
-            "value": ss["second_round_overhead"],
-            "unit": ("x the gated-off step when the overflow round is "
-                     "force-taken at D=1 (skew-path upper bound); "
-                     f"per-chip-load sweep: {sweep}"),
-            "vs_baseline": 1.0,
-        })
-
     # NOTE: the old weak_scaling_efficiency line is gone (VERDICT round 2
     # item 7): with one real chip it was trivially t(1)/t(1) = 1.0, and an
     # 8-fake-device CPU mesh was tried and REJECTED as a stand-in (fake
     # devices share the host's cores, so it measures host parallelism
     # artifacts, not device scaling). BASELINE metric 3 stands unmeasured
-    # on this rig, not failed; the shard-sensitivity line above carries the
+    # on this rig, not failed; the shard-sensitivity line below carries the
     # ground truth one chip can still yield. `zotpu bench --workload
     # scaling` remains for multi-chip rigs.
 
@@ -528,6 +508,33 @@ def main():
             "value": e2e["bases_per_s"],
             "unit": unit,
             "vs_baseline": e2e["bases_per_s"] / 1e9,
+        })
+
+    # Model sensitivity (replaces the vacuous t(1)/t(1) weak-scaling line,
+    # VERDICT round 2 item 7): the D=1 step with the overflow second round
+    # force-taken, and a per-chip-load sweep of the sharded step. Runs
+    # AFTER the BASELINE-metric lines (round-5 rehearsal: its cold compiles
+    # at the 67/134 Mbase shapes burned the remaining budget and dropped
+    # parse + e2e); streams per-point partials so a timeout harvests every
+    # measured point.
+    _log("shard-sensitivity...")
+    ss = run_workload("shard-sensitivity",
+                      f"r = harness.bench_shard_sensitivity("
+                      f"total_bases={total_bases}, k={k}, repeats=3, "
+                      f"progress=_partial)", tmo)
+    if ss and "second_round_overhead" in ss:
+        sweep = "; ".join(
+            f"{row['bases'] >> 20} Mbase -> "
+            + (f"{row['bases_per_s'] / 1e6:.0f} Mbase/s"
+               if "bases_per_s" in row else f"error: {row['error'][:60]}")
+            for row in ss["load_sweep"])
+        _stream({
+            "metric": "kmerize_sharded_second_round_overhead",
+            "value": ss["second_round_overhead"],
+            "unit": ("x the gated-off step when the overflow round is "
+                     "force-taken at D=1 (skew-path upper bound); "
+                     f"per-chip-load sweep: {sweep}"),
+            "vs_baseline": 1.0,
         })
 
     # Fixture + run-length deltas (VERDICT round 4 missing item 1 "nobody

@@ -126,3 +126,34 @@ def test_fused_dense_identical_sides():
         assert int(got[3]) == n
         for w, g in zip(want[:3], got[:3]):
             assert np.array_equal(np.asarray(w)[:n], np.asarray(g)[:n])
+
+
+@pytest.mark.parametrize("na,nb,tiles_a,tiles_b", [
+    (100, 200, 2, 4),      # both sides mostly padding -> dead upper tiles
+    (0, 50, 1, 1),         # one side empty
+    (0, 0, 1, 1),          # both empty: every tile dead, n_out == 0
+])
+def test_fused_live_gate_byte_equal(na, nb, tiles_a, tiles_b):
+    """The round-5 live-tile gate (n_a/n_b valid counts let the kernel
+    skip pure-sentinel tiles) must be byte-identical to the ungated path
+    for every op -- including tails (sentinel/zero beyond n_out)."""
+    import jax.numpy as jnp
+
+    from zotpu.kernels.sort_pallas import TILE_E
+    rng = np.random.default_rng(11)
+    ka, ca = (_rand_set(rng, na) if na else
+              (np.empty(0, np.uint64), np.empty(0, np.uint32)))
+    kb, cb = (_rand_set(rng, nb) if nb else
+              (np.empty(0, np.uint64), np.empty(0, np.uint32)))
+    A = _dense(ka, ca, tiles_a * TILE_E)
+    B = _dense(kb, cb, tiles_b * TILE_E)
+    for op in ("merge", "intersect", "diff"):
+        r0 = set_op_fused(*A, *B, op=op, interpret=True)
+        r1 = set_op_fused(*A, *B, op=op, interpret=True,
+                          n_a=jnp.int32(len(ka)), n_b=jnp.int32(len(kb)))
+        assert int(r0[3]) == int(r1[3])
+        n = int(r0[3])
+        for w, g in zip(r0[:3], r1[:3]):
+            assert np.array_equal(np.asarray(w), np.asarray(g))
+        assert np.all(np.asarray(r1[0])[n:] == 0xFFFFFFFF)
+        assert np.all(np.asarray(r1[2])[n:] == 0)

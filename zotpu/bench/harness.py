@@ -640,7 +640,8 @@ def bench_shard_model(total_bases: int = 1 << 25, k: int = 25,
 
 
 def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
-                            read_len: int = 256, repeats: int = 3) -> dict:
+                            read_len: int = 256, repeats: int = 3,
+                            progress=None) -> dict:
     """Ground the scaling model beyond the steady-state point (VERDICT
     round 2 item 7) -- the remaining truths one chip can still yield:
 
@@ -650,6 +651,12 @@ def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
       program with the round gated off (need2=False);
     - a per-chip-load sweep of the sharded step: how sensitive the modeled
       per-chip rate is to batch size (the model's t_chip term).
+
+    ``progress`` (bench.py's partial streamer) is called after the gated/
+    taken pair and after every sweep point: each point at a NEW shape is a
+    fresh compile that can cost minutes cold on this tunnel, and the
+    round-5 rehearsal lost the whole record to a child timeout -- partials
+    make the harvest monotone.
     """
     from zotpu.dist import mesh as M
     from zotpu.dist import shuffle
@@ -679,34 +686,45 @@ def bench_shard_sensitivity(total_bases: int = 1 << 25, k: int = 25,
         return dt
 
     reads = max(total_bases // read_len, 1)
+    out = {"workload": "kmerize_shard_sensitivity", "k": k,
+           "bases": reads * read_len, "load_sweep": []}
+
+    def emit():
+        if progress is not None:
+            progress(dict(out, load_sweep=list(out["load_sweep"])))
+
     # force_second_round=True for BOTH sides so the program structure is
     # identical and the delta is exactly the taken round's cost: at 1.03
     # every entry fits round 1 (need2 False, fill+all_to_all gated off); at
     # 0.85 ~15% of entries take the second round.
     t_gated = measure(reads, 1.03, True)
     t_taken = measure(reads, 0.85, True)
+    out["t_second_round_gated_s"] = t_gated
+    out["t_second_round_taken_s"] = t_taken
+    out["second_round_overhead"] = t_taken / t_gated
+    emit()
     # per-chip-load sweep now goes UP as well as down (VERDICT round 4 item
     # 2: the round-3 sweep only went down from 33.5 Mbase while its own
     # trend showed throughput still rising with batch size -- fixed
-    # per-batch overheads amortize further at 67/134 Mbase, HBM permitting)
-    sweep = []
-    for num, den in ((4, 1), (2, 1), (1, 1), (1, 2), (1, 4)):
+    # per-batch overheads amortize further at 67/134 Mbase, HBM permitting).
+    # Point order is decision-value-first: the 2x up-point (the headline's
+    # batch-size lever) before the down-points, the 4x point LAST (newest
+    # shape = the most expensive cold compile and the one that can OOM) --
+    # with per-point partials a budget kill keeps everything measured.
+    for num, den in ((1, 1), (2, 1), (1, 2), (1, 4), (4, 1)):
         r = reads * num // den
         try:
             t = t_gated if (num, den) == (1, 1) else measure(r, 1.03, True)
         except Exception as e:          # OOM at the top sizes: record why
-            sweep.append({"bases": r * read_len, "error": str(e)[:200]})
+            out["load_sweep"].append({"bases": r * read_len,
+                                      "error": str(e)[:200]})
+            emit()
             continue
-        sweep.append({"bases": r * read_len, "seconds": t,
-                      "bases_per_s": r * read_len / t})
-    return {
-        "workload": "kmerize_shard_sensitivity", "k": k,
-        "bases": reads * read_len,
-        "t_second_round_gated_s": t_gated,
-        "t_second_round_taken_s": t_taken,
-        "second_round_overhead": t_taken / t_gated,
-        "load_sweep": sweep,
-    }
+        out["load_sweep"].append({"bases": r * read_len, "seconds": t,
+                                  "bases_per_s": r * read_len / t})
+        emit()
+    out["load_sweep"].sort(key=lambda row: -row["bases"])
+    return out
 
 
 def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
@@ -733,10 +751,15 @@ def bench_sustained(total_bases: int = 1 << 25, k: int = 25,
     from zotpu.kernels.sortdedup import kmer_dedup_dense
 
     if max_cap is None:
-        # room for the run's unique set: a >16-batch uniform (or error-
-        # tail-heavy coverage) run outgrows 2^27 unique keys; 2^28 rows x
-        # 12 B across the top two LSM levels still fits v5e HBM
-        max_cap = (1 << 28) if batches > 16 else (1 << 27)
+        # 2^27 is the v5e ceiling: a 2^28-row level merge COMPILES to 18 GB
+        # of HBM (measured round 5 -- XLA ran out at 15.75 GB), so the top
+        # LSM level clamps at 2^27 rows regardless of run length. A >2^27-
+        # unique run (e.g. uniform B=32) hits the deferred-overflow clamp:
+        # level shapes saturate, the timing stays valid for the clamped
+        # regime, and production handles the real case by spilling
+        # (--spill-dir) or sharding across chips. Coverage runs saturate
+        # far below the cap (genome + error tail).
+        max_cap = 1 << 27
     fx = _Fixture(fixture, total_bases=batches * total_bases)
     reads = max(total_bases // read_len, 1)
     # distinct batches (varied content) so merges do real combining work;

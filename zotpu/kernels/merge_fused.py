@@ -248,6 +248,7 @@ def _make_fused_kernel(op: str, ntiles: int):
             st[1] = 0
             st[2] = 0
             st[3] = 0
+            st[4] = 0        # an output store is outstanding (un-waited)
 
         def dma_in(tt, slot, ch):
             src = ins[ch]
@@ -261,49 +262,76 @@ def _make_fused_kernel(op: str, ntiles: int):
             for ch in range(6):
                 dma_in(tt, slot, ch).start()
 
+        # Live-tile gate (round 5): merge-path offsets are monotone in t,
+        # so tiles past BOTH valid prefixes form a contiguous DEAD suffix
+        # whose candidates are all sentinel padding. Dead tiles skip the
+        # input-window DMAs, the rotations + merge network, the output
+        # assembly and the store -- at the LSM accumulator's level shapes
+        # the caps grow 2^level while the valid prefix saturates, so MOST
+        # tiles of upper-level merges are dead. The flush step (t ==
+        # ntiles) rides the same dead branch: its scal column is zeroed by
+        # the wrapper. Dead tiles still run the (cheap) combine/deferred
+        # logic below, so the deferred element from the last live tile is
+        # emitted exactly as before (the first dead tile stores it).
+        is_flush = t == ntiles
+        live = scal[6, t] != 0
+
         # double-buffered input windows: tile t's loads were issued at t-1
-        # (t=0 issues its own); the flush step's dummy window was issued at
-        # ntiles-1 and is waited on so no semaphore is left dangling.
-        @pl.when(t == 0)
+        # (t=0 issues its own); issue and wait are BOTH gated on the target
+        # tile's live flag, so every issued window is waited exactly once
+        # and dead tiles pay no DMA traffic at all.
+        @pl.when((t == 0) & live)
         def _first():
             issue(0)
 
-        @pl.when(t + 1 <= ntiles)
+        tnext = jnp.minimum(t + 1, ntiles)   # clamp: scal column must exist
+        @pl.when((t + 1 <= ntiles) & (scal[6, tnext] != 0))
         def _next():
-            issue(t + 1)
+            issue(tnext)
 
         slot = jax.lax.rem(t, 2)
-        for ch in range(6):
-            dma_in(t, slot, ch).wait()
 
-        a_rot = scal[2, t]
-        b_rot = scal[3, t]
-        a_cnt = scal[4, t]
-        b_cnt = scal[5, t]
+        @pl.when(live)
+        def _wait_in():
+            for ch in range(6):
+                dma_in(t, slot, ch).wait()
 
-        # The partition is exact: a_cnt + b_cnt == TILE_E. Compose ONE
-        # T-length bitonic buffer with NO padding: A's live run left-aligned
-        # ascending at [0, a_cnt), B's live run (from the globally REVERSED
-        # copy, so already descending; its window alignment puts the run end
-        # on the row-(TILE_R+1) boundary after a right-rotation by b_rot)
-        # right-aligned at [a_cnt, T). [asc | desc] is bitonic; the merge
-        # network is 15 stages over T candidates -- HALF the vector work of
-        # the padded-2T formulation.
-        a = tuple(win[slot, ch] for ch in range(3))
-        a = _rot_left_dyn(a, a_rot)
-        b = tuple(win[slot, ch + 3] for ch in range(3))
-        b = _rot_right_dyn(b, b_rot)
-        pos = _flat_pos((TILE_R, LANES))
-        in_a = pos < a_cnt
-        cand = tuple(jnp.where(in_a, x[:TILE_R], y[1:TILE_R + 1])
-                     for x, y in zip(a, b))
-        cand = _bitonic_merge_block(cand, TILE_E)
+        # Candidates stage through pkbuf because pl.when branches return no
+        # values (Mosaic register-slicing rule: stage via VMEM).
 
-        # flush step: no data windows were issued for it; force sentinels
-        is_flush = t == ntiles
-        vhi = jnp.where(is_flush, SENT, cand[0])
-        vlo = jnp.where(is_flush, SENT, cand[1])
-        vc = jnp.where(is_flush, jnp.uint32(0), cand[2])
+        @pl.when(live)
+        def _compute_cand():
+            # The partition is exact: a_cnt + b_cnt == TILE_E. Compose ONE
+            # T-length bitonic buffer with NO padding: A's live run left-
+            # aligned ascending at [0, a_cnt), B's live run (from the
+            # globally REVERSED copy, so already descending; its window
+            # alignment puts the run end on the row-(TILE_R+1) boundary
+            # after a right-rotation by b_rot) right-aligned at [a_cnt, T).
+            # [asc | desc] is bitonic; the merge network is log2(T) stages
+            # over T candidates -- HALF the vector work of the padded-2T
+            # formulation.
+            a = tuple(win[slot, ch] for ch in range(3))
+            a = _rot_left_dyn(a, scal[2, t])
+            b = tuple(win[slot, ch + 3] for ch in range(3))
+            b = _rot_right_dyn(b, scal[3, t])
+            pos = _flat_pos((TILE_R, LANES))
+            in_a = pos < scal[4, t]
+            cand = tuple(jnp.where(in_a, x[:TILE_R], y[1:TILE_R + 1])
+                         for x, y in zip(a, b))
+            cand = _bitonic_merge_block(cand, TILE_E)
+            pkbuf[0] = cand[0]
+            pkbuf[1] = cand[1]
+            pkbuf[2] = cand[2]
+
+        @pl.when(~live)
+        def _dead_cand():
+            pkbuf[0] = jnp.full((TILE_R, LANES), SENT, jnp.uint32)
+            pkbuf[1] = jnp.full((TILE_R, LANES), SENT, jnp.uint32)
+            pkbuf[2] = jnp.zeros((TILE_R, LANES), jnp.uint32)
+
+        vhi = pkbuf[0]
+        vlo = pkbuf[1]
+        vc = pkbuf[2]
 
         pos = _flat_pos(vhi.shape)
         elem0 = pos == 0
@@ -368,15 +396,25 @@ def _make_fused_kernel(op: str, ntiles: int):
             pkbuf[1] = b
             pkbuf[2] = c3
 
-        # the previous tile's store reads obuf and overlaps this tile's
-        # window rows: wait for it before overwriting/starting ours.
+        # Store gate (round 5): a dead tile that emits nothing (no deferred
+        # element landing) would re-assemble and re-store the SAME obuf
+        # content at the SAME cursor -- skip the assembly, the carry and
+        # the store entirely. ``live`` tiles always store; the first dead
+        # tile stores iff the deferred element emits into it. st[4] tracks
+        # whether a store is outstanding (started, not yet waited): every
+        # new store waits the previous one first, so at most one is ever in
+        # flight and the flush step drains the last (semaphore pairing
+        # stays exact under the gating).
         pend = st[1]
         d_emit_i = d_emit.astype(jnp.int32)
         rot = pend + d_emit_i
         total = pend + d_emit_i + m
         cur = st[0]
+        store_now = live | d_emit
 
-        @pl.when(t > 0)
+        # the previous tile's store reads obuf and overlaps this tile's
+        # window rows: wait for it before overwriting/starting ours.
+        @pl.when(store_now & (st[4] != 0))
         def _wait_prev_store():
             for ch in range(3):
                 pltpu.make_async_copy(
@@ -411,55 +449,67 @@ def _make_fused_kernel(op: str, ntiles: int):
                     jnp.where(at_def, d_vals[ch],
                               jnp.where(in_pend, p_rows[ch], buf[ch])))
 
-        @pl.when(rot == 0)
+        @pl.when(store_now & (rot == 0))
         def _rot_none():
             _finish(lambda b: b)
 
-        @pl.when(rot == 1)
+        @pl.when(store_now & (rot == 1))
         def _rot_one():
             _finish(lambda b: tuple(_rot_right_const(c, 1) for c in b))
 
-        @pl.when(rot > 1)
+        @pl.when(store_now & (rot > 1))
         def _rot_dyn():
             _finish(lambda b: _rot_right_dyn(b, rot))
 
         full = total // LANES
         new_pend = jax.lax.rem(total, LANES)
-        # carry the new partial row (the first not-fully-emitted row)
-        for ch in range(3):
-            pend_buf[ch, 0:1, :] = obuf[ch, pl.ds(full, 1), :]
 
-        for ch in range(3):
-            pltpu.make_async_copy(
-                obuf.at[ch], outs[ch].at[pl.ds(cur, OUT_R), :],
-                osem.at[ch]).start()
+        @pl.when(store_now)
+        def _carry_and_store():
+            # carry the new partial row (the first not-fully-emitted row)
+            for ch in range(3):
+                pend_buf[ch, 0:1, :] = obuf[ch, pl.ds(full, 1), :]
+            for ch in range(3):
+                pltpu.make_async_copy(
+                    obuf.at[ch], outs[ch].at[pl.ds(cur, OUT_R), :],
+                    osem.at[ch]).start()
 
+        # scalar state: for a skipped (dead, non-emitting) tile full == 0
+        # and new_pend == pend, so these are no-ops there by construction
         st[0] = cur + full
         st[1] = new_pend
         st[2] = st[2] + d_emit_i + m
+        st[4] = jnp.where(store_now, 1, st[4])
 
         @pl.when(is_flush)
-        def _finish():
+        def _emit_n():
+            n_out[0] = st[2]
+
+        @pl.when(is_flush & ((st[4] != 0) | store_now))
+        def _drain_last_store():
             for ch in range(3):
                 pltpu.make_async_copy(
                     obuf.at[ch], outs[ch].at[pl.ds(0, OUT_R), :],
                     osem.at[ch]).wait()
-            n_out[0] = st[2]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("op", "interpret"))
 def set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
-                 interpret: bool = False):
+                 interpret: bool = False, n_a=None, n_b=None):
     """Fused set_op over DENSE sorted unique sentinel-padded inputs.
 
     Same contract/outputs as ``setops.set_op`` (hi, lo, counts, n_out):
     dense sorted unique prefix, sentinel/0 beyond, output capacity
     TILE-rounded |A| + |B| + one spill tile. (Round 4: inputs pad to the
     next TILE_E multiple, not the next power of two -- pow2 padding cost
-    ~10% extra candidates at the accumulator's level shapes, and every
-    padded candidate rides the full merge network.)"""
+    ~10% extra candidates at the accumulator's level shapes.)
+
+    ``n_a``/``n_b`` (optional TRACED scalars): the valid-prefix lengths.
+    When given, tiles past both prefixes skip the merge network in-kernel
+    (round 5) -- at LSM level shapes (caps grow 2^level, valid saturates)
+    this is most of the candidates. Byte-identical output either way."""
     MA = max(-(-hi_a.shape[0] // TILE_E) * TILE_E, TILE_E)
     MB = max(-(-hi_b.shape[0] // TILE_E) * TILE_E, TILE_E)
     n = MA + MB
@@ -497,9 +547,20 @@ def set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
     b_rot = (LANES - bend % LANES) % LANES
     b_row = bend_row - TILE_R - 1 + LOAD_R    # + front-pad offset
 
+    # Live-tile flags (round 5): a tile is dead when BOTH input windows
+    # start beyond their side's valid prefix -- everything it would merge
+    # is sentinel padding, so the kernel skips the merge network for it.
+    # Callers that track valid counts (the LSM accumulator, the receive
+    # tree) pass n_a/n_b as traced scalars; the default (full lengths)
+    # keeps every tile live, which is exactly the old behavior.
+    na = jnp.asarray(MA if n_a is None else n_a, jnp.int32)
+    nb = jnp.asarray(MB if n_b is None else n_b, jnp.int32)
+    live = ((a0 < na) | (b0 < nb)).astype(jnp.int32)
     scal = jnp.stack([a0 // LANES, b_row, a0 % LANES, b_rot,
-                      a1 - a0, b1 - b0]).astype(jnp.int32)
-    scal = jnp.concatenate([scal, jnp.zeros((6, 1), jnp.int32)], axis=1)
+                      a1 - a0, b1 - b0, live]).astype(jnp.int32)
+    # one extra zero column = the flush step's scalars (live = 0: it rides
+    # the dead branch, emitting only the carried pend/deferred remainder)
+    scal = jnp.concatenate([scal, jnp.zeros((7, 1), jnp.int32)], axis=1)
 
     def rows(x, front, back, fill):
         return jnp.concatenate([

@@ -123,8 +123,22 @@ def _bitonic_merge_block(chans, n, num_keys=2, asc=None):
 # duplicate keys (no tie-breaking hazards).
 # ---------------------------------------------------------------------------
 
-TILE_E = 1 << 15              # output tile elements
-TILE_R = TILE_E // LANES      # 256 rows
+import os as _os
+
+# Output tile elements. 2^16 is the measured optimum on TPU v5e (round-5
+# silicon A/B at 30.4M-element tree shapes): vs 2^15 the alternating tree
+# passes drop 14-18% (L1 8.21 -> 7.07 ms, L2 7.87 -> 6.47) and the fused
+# dedup pass 13% (10.77 -> 9.38) -- the +1 bitonic stage costs ~6% but
+# HALVING the per-tile fixed costs (window rotations, partition scalars,
+# DMA count) wins more. 2^14 was rejected round 4 by the same ledger in
+# reverse (L2 8.7 -> 10.3 ms); 2^17 is past the knee: the merge passes
+# still gain (L1 5.98 ms) but the 6-buffer dedup kernel needs 18.17 MB of
+# VMEM against the 16 MB scoped limit and fails to compile. The env
+# override exists for tile-size probes -- every module imports the value at
+# import time, so it must be set before the first zotpu import and never
+# flipped mid-process.
+TILE_E = 1 << int(_os.environ.get("ZOTPU_TILE_LOG2", "16"))
+TILE_R = TILE_E // LANES      # rows (512 at the default)
 LOAD_R = TILE_R + 8           # window rows (rotation slack, 8-row aligned)
 
 

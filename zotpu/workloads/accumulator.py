@@ -69,7 +69,7 @@ def _merge_fused(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int):
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "trunc"))
 def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int,
-                    trunc: bool = True):
+                    trunc: bool = True, na=None, nb=None):
     """_merge_fused via the FUSED Pallas merge+combine+compact kernel --
     DENSE operands only (every set_op output is dense, so levels >= 1
     qualify). ``trunc=False`` (round 4) keeps the kernel's natural output
@@ -77,9 +77,13 @@ def _merge_fused_mp(ahi, alo, ac, bhi, blo, bc, ov, out_cap: int,
     batch shapes) bought only for shape hygiene; the accumulator keeps
     per-level shapes deterministic without it and truncates ONLY when the
     semantic capacity is clamped by max_cap (HBM bound). ``out_cap``
-    stays the OVERFLOW threshold either way."""
+    stays the OVERFLOW threshold either way. ``na``/``nb`` (traced valid
+    counts, round 5) let the kernel skip pure-padding tiles -- at upper
+    LSM levels the caps grow 2^level while the valid prefix saturates, so
+    most tiles are dead there; output is byte-identical either way."""
     from zotpu.kernels.merge_fused import set_op_fused
-    hi, lo, cnt, n = set_op_fused(ahi, alo, ac, bhi, blo, bc, op="merge")
+    hi, lo, cnt, n = set_op_fused(ahi, alo, ac, bhi, blo, bc, op="merge",
+                                  n_a=na, n_b=nb)
     ov = jnp.maximum(ov, n - out_cap)
     if trunc:
         return hi[:out_cap], lo[:out_cap], cnt[:out_cap], n, ov
@@ -104,10 +108,11 @@ def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool,
 
     SENTX = jnp.uint32(0xFFFFFFFF)
 
-    def local(ahi, alo, ac, bhi, blo, bc, ov):
+    def local(ahi, alo, ac, na, bhi, blo, bc, nb, ov):
         hi, lo, cnt, n = set_op_fused(ahi[0], alo[0], ac[0],
                                       bhi[0], blo[0], bc[0], op="merge",
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      n_a=na[0], n_b=nb[0])
         if trunc:
             m = hi.shape[0]
             if m >= out_cap:
@@ -123,7 +128,8 @@ def _make_sharded_fused_merge(mesh, out_cap: int, interpret: bool,
                 ov)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(AXIS, None),) * 6 + (P(AXIS),),
+                   in_specs=(P(AXIS, None),) * 3 + (P(AXIS),)
+                            + (P(AXIS, None),) * 3 + (P(AXIS), P(AXIS)),
                    out_specs=(P(AXIS, None),) * 3 + (P(AXIS), P(AXIS)),
                    check_vma=False)
     return jax.jit(fn)
@@ -200,7 +206,8 @@ class DeviceAccumulator:
         if both_dense and use_merge_path(a[0].shape[0], b[0].shape[0]):
             hi, lo, cnt, n, self.overflow = _merge_fused_mp(
                 a[0], a[1], a[2], b[0], b[1], b[2], self.overflow,
-                out_cap=out_cap, trunc=out_cap >= self.max_cap)
+                out_cap=out_cap, trunc=out_cap >= self.max_cap,
+                na=a[3], nb=b[3])
         else:
             hi, lo, cnt, n, self.overflow = _merge_fused(
                 a[0], a[1], a[2], b[0], b[1], b[2], self.overflow,
@@ -323,7 +330,8 @@ class ShardedAccumulator:
                                                self.interpret, trunc=trunc)
                 self._fused_cache[key] = fn
             hi, lo, cnt, n, self.overflow = fn(
-                a[0], a[1], a[2], b[0], b[1], b[2], self.overflow)
+                a[0], a[1], a[2], a[3], b[0], b[1], b[2], b[3],
+                self.overflow)
             return hi, lo, cnt, n, True
         hi, lo, cnt, n, self.overflow = _merge_fused_batched(
             a[0], a[1], a[2], b[0], b[1], b[2], self.overflow, out_cap=out_cap)
