@@ -296,11 +296,24 @@ def _make_fused_kernel(op: str, ntiles: int):
             for ch in range(6):
                 dma_in(t, slot, ch).wait()
 
-        # Candidates stage through pkbuf because pl.when branches return no
-        # values (Mosaic register-slicing rule: stage via VMEM).
+        # Deferred-element scalars: read BEFORE the branches update dk/st
+        # (the emitted deferred element is the one carried INTO this tile).
+        d_live = st[3] != 0
+        d_hi = jnp.where(d_live, dk[0], SENT)
+        d_lo = jnp.where(d_live, dk[1], SENT)
+        d_c = dk[2]
 
+        # ALL per-tile vector work lives in the live branch; a dead tile's
+        # candidates are pure sentinel, so its combine outcome is known in
+        # scalar form: nothing kept (m = 0), the carried deferred element
+        # resolves against a sentinel first element (match0 = False), and
+        # no new element is deferred (st[3] = 0). The branches communicate
+        # through SMEM (st[5] = m, st[6] = d_emit, dk[3] = d_cnt) because
+        # pl.when returns no values; pkbuf content is irrelevant for dead
+        # tiles (a dead store's positions are fully covered by the pend/
+        # deferred/garbage overlays in the assembly below).
         @pl.when(live)
-        def _compute_cand():
+        def _compute_tile():
             # The partition is exact: a_cnt + b_cnt == TILE_E. Compose ONE
             # T-length bitonic buffer with NO padding: A's live run left-
             # aligned ascending at [0, a_cnt), B's live run (from the
@@ -318,83 +331,81 @@ def _make_fused_kernel(op: str, ntiles: int):
             in_a = pos < scal[4, t]
             cand = tuple(jnp.where(in_a, x[:TILE_R], y[1:TILE_R + 1])
                          for x, y in zip(a, b))
-            cand = _bitonic_merge_block(cand, TILE_E)
-            pkbuf[0] = cand[0]
-            pkbuf[1] = cand[1]
-            pkbuf[2] = cand[2]
+            vhi, vlo, vc = _bitonic_merge_block(cand, TILE_E)
+
+            elem0 = pos == 0
+            last = pos == TILE_E - 1
+            valid = ~((vhi == SENT) & (vlo == SENT))
+
+            # stream neighbours; element 0's predecessor is the deferred
+            # key (SENT when not live => first=True unless elem 0 is
+            # sentinel).
+            phi = _shift_right_flat(vhi, 1, d_hi)
+            plo = _shift_right_flat(vlo, 1, d_lo)
+            nhi = _shift_left_flat(vhi, 1, SENT)
+            nlo = _shift_left_flat(vlo, 1, SENT)
+            nc = _shift_left_flat(vc, 1, jnp.uint32(0))
+            first = (vhi != phi) | (vlo != plo)
+            same_next = (vhi == nhi) & (vlo == nlo) & ~last & valid
+            keep, cnt = _combine_policy(op, first, same_next, valid, vc, nc)
+
+            # resolve the deferred element against this tile's first elem
+            v0_hi = _extract(elem0, vhi)
+            v0_lo = _extract(elem0, vlo)
+            v0_c = _extract(elem0, vc)
+            match0 = d_live & (v0_hi == d_hi) & (v0_lo == d_lo) & \
+                ~((v0_hi == SENT) & (v0_lo == SENT))
+            d_emit, d_cnt = _deferred_policy(op, d_live, match0, d_c, v0_c)
+
+            # defer this tile's LAST element (its same_next is unknowable);
+            # if it is not a segment FIRST its segment was already resolved
+            nd_live = jnp.sum(jnp.where(last,
+                                        (first & valid).astype(jnp.int32),
+                                        0), dtype=jnp.int32)
+            dk[0] = _extract(last, vhi)
+            dk[1] = _extract(last, vlo)
+            dk[2] = _extract(last, vc)
+            st[3] = nd_live
+            keep = keep & ~last
+            st[5] = jnp.sum(keep.astype(jnp.int32))
+            st[6] = d_emit.astype(jnp.int32)
+            dk[3] = d_cnt
+
+            # Drop-free fast path (round 4): the butterfly pack is ~1/3 of
+            # the kernel's vector work but is the IDENTITY whenever the
+            # kept rows already form a prefix of the tile (every shift
+            # distance is then 0) -- the dominant case for merges of
+            # mostly-disjoint sets and for sentinel-tail tiles. Stage the
+            # channels in VMEM and pack only when a kept row follows a
+            # dropped one.
+            lastk = jnp.max(jnp.where(keep, pos, jnp.int32(-1)))
+            firstd = jnp.min(jnp.where(keep, jnp.int32(TILE_E), pos))
+            prefix_ok = firstd > lastk
+
+            pkbuf[0] = vhi
+            pkbuf[1] = vlo
+            pkbuf[2] = cnt
+
+            @pl.when(~prefix_ok)
+            def _pack():
+                a3, b3, c3 = _butterfly_pack(
+                    (pkbuf[0], pkbuf[1], pkbuf[2]), keep)
+                pkbuf[0] = a3
+                pkbuf[1] = b3
+                pkbuf[2] = c3
 
         @pl.when(~live)
-        def _dead_cand():
-            pkbuf[0] = jnp.full((TILE_R, LANES), SENT, jnp.uint32)
-            pkbuf[1] = jnp.full((TILE_R, LANES), SENT, jnp.uint32)
-            pkbuf[2] = jnp.zeros((TILE_R, LANES), jnp.uint32)
+        def _dead_tile():
+            d_emit, d_cnt = _deferred_policy(op, d_live, jnp.bool_(False),
+                                             d_c, jnp.uint32(0))
+            st[3] = 0
+            st[5] = 0
+            st[6] = d_emit.astype(jnp.int32)
+            dk[3] = d_cnt
 
-        vhi = pkbuf[0]
-        vlo = pkbuf[1]
-        vc = pkbuf[2]
-
-        pos = _flat_pos(vhi.shape)
-        elem0 = pos == 0
-        last = pos == TILE_E - 1
-        valid = ~((vhi == SENT) & (vlo == SENT))
-
-        d_live = st[3] != 0
-        d_hi = jnp.where(d_live, dk[0], SENT)
-        d_lo = jnp.where(d_live, dk[1], SENT)
-        d_c = dk[2]
-
-        # stream neighbours; element 0's predecessor is the deferred key
-        # (SENT when not live => first=True unless element 0 is sentinel).
-        phi = _shift_right_flat(vhi, 1, d_hi)
-        plo = _shift_right_flat(vlo, 1, d_lo)
-        nhi = _shift_left_flat(vhi, 1, SENT)
-        nlo = _shift_left_flat(vlo, 1, SENT)
-        nc = _shift_left_flat(vc, 1, jnp.uint32(0))
-        first = (vhi != phi) | (vlo != plo)
-        same_next = (vhi == nhi) & (vlo == nlo) & ~last & valid
-        keep, cnt = _combine_policy(op, first, same_next, valid, vc, nc)
-
-        # resolve the deferred element against this tile's first element
-        v0_hi = _extract(elem0, vhi)
-        v0_lo = _extract(elem0, vlo)
-        v0_c = _extract(elem0, vc)
-        match0 = d_live & (v0_hi == d_hi) & (v0_lo == d_lo) & \
-            ~((v0_hi == SENT) & (v0_lo == SENT))
-        d_emit, d_cnt = _deferred_policy(op, d_live, match0, d_c, v0_c)
-
-        # defer this tile's LAST element (its same_next is unknowable); if
-        # it is not a segment FIRST its segment was already resolved above.
-        nd_live = jnp.sum(jnp.where(last, (first & valid).astype(jnp.int32),
-                                    0), dtype=jnp.int32)
-        dk[0] = _extract(last, vhi)
-        dk[1] = _extract(last, vlo)
-        dk[2] = _extract(last, vc)
-        st[3] = nd_live
-        keep = keep & ~last
-        m = jnp.sum(keep.astype(jnp.int32))
-
-        # Drop-free fast path (round 4): the butterfly pack is ~1/3 of the
-        # kernel's vector work but is the IDENTITY whenever the kept rows
-        # already form a prefix of the tile (every shift distance is then
-        # 0). That is the dominant case for merges of mostly-disjoint sets
-        # (cross-batch accumulator merges: drops are rare interior
-        # combines) and for sentinel-tail tiles (keeps are a live prefix).
-        # Stage the channels in VMEM and pack only when a kept row follows
-        # a dropped one.
-        lastk = jnp.max(jnp.where(keep, pos, jnp.int32(-1)))
-        firstd = jnp.min(jnp.where(keep, jnp.int32(TILE_E), pos))
-        prefix_ok = firstd > lastk
-
-        pkbuf[0] = vhi
-        pkbuf[1] = vlo
-        pkbuf[2] = cnt
-
-        @pl.when(~prefix_ok)
-        def _pack():
-            a, b, c3 = _butterfly_pack((pkbuf[0], pkbuf[1], pkbuf[2]), keep)
-            pkbuf[0] = a
-            pkbuf[1] = b
-            pkbuf[2] = c3
+        m = st[5]
+        d_emit = st[6] != 0
+        d_cnt = dk[3]
 
         # Store gate (round 5): a dead tile that emits nothing (no deferred
         # element landing) would re-assemble and re-store the SAME obuf
