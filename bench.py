@@ -421,6 +421,24 @@ def main():
     # missing item 2): same composition rule as the kmerize headline --
     # the FULL sharded per-chip program measured at D=1 on this chip,
     # times 8 chips at the 0.8 efficiency floor.
+    # Host input pipeline on .gz fixtures (VERDICT round 2 item 4): per-file
+    # inflate workers + chunk-pipelined inflate; no device work.
+    _log("parse...")
+    pr = run_workload("parse", f"r = harness.bench_parse(total_bases="
+                      f"{4 * total_bases}, k={k})", tmo)
+    if pr:
+        _stream({
+            "metric": "host_parse_gz_bases_per_s",
+            "value": pr["bases_per_s"],
+            "unit": ("bases/s uncompressed-equivalent host parse "
+                     f"({pr['files']} .gz files, {pr['workers']} workers on "
+                     f"{pr['cores']} cores, "
+                     f"{pr['parallel_speedup']:.2f}x over 1 worker; a "
+                     "single gzip stream is serial to inflate, so this "
+                     "scales with host cores)"),
+            "vs_baseline": pr["bases_per_s"] / 1e9,
+        })
+
     _log("scan-shard-model...")
     ssm = run_workload("scan-shard-model",
                        f"r = harness.bench_scan_shard_model(repeats=3, "
@@ -429,12 +447,14 @@ def main():
         _stream({
             "metric": "scan_kmers_per_s_host",
             "value": ssm["host8_kmers_per_s_at_0.8_eff"],
-            "unit": ("kmers/s/HOST (8 x the measured D=1 sharded pulldown "
-                     "step -- panel partition, k-mer routing w/ read-row "
-                     "ids, per-shard sort-merge join, psum'd hits -- at a "
-                     "0.8 efficiency floor; needs "
+            "unit": ("kmers/s/HOST (8 x the measured per-chip sharded "
+                     "pulldown -- D=1 step: panel partition, k-mer routing "
+                     "w/ read-row ids, streaming merge-path join, psum'd "
+                     "hits; PLUS the D=8-shape payload merge tree measured "
+                     "on this chip, the receive cost D=1 cannot see -- at "
+                     "a 0.8 efficiency floor; needs "
                      f"{ssm['ici_gbps_needed_for_0.8_eff']:.1f} GB/s/chip "
-                     "ICI; per-chip rate in kmers_per_s_chip)"),
+                     "ICI; per-chip D=1 rate in kmers_per_s_chip)"),
             "kmers_per_s_chip": ssm["kmers_per_s_chip"],
             "vs_baseline": ssm["host8_kmers_per_s_at_0.8_eff"] / 5e8,
         })
@@ -465,24 +485,6 @@ def main():
     # on this rig, not failed; the shard-sensitivity line below carries the
     # ground truth one chip can still yield. `zotpu bench --workload
     # scaling` remains for multi-chip rigs.
-
-    # Host input pipeline on .gz fixtures (VERDICT round 2 item 4): per-file
-    # inflate workers + chunk-pipelined inflate; no device work.
-    _log("parse...")
-    pr = run_workload("parse", f"r = harness.bench_parse(total_bases="
-                      f"{4 * total_bases}, k={k})", tmo)
-    if pr:
-        _stream({
-            "metric": "host_parse_gz_bases_per_s",
-            "value": pr["bases_per_s"],
-            "unit": ("bases/s uncompressed-equivalent host parse "
-                     f"({pr['files']} .gz files, {pr['workers']} workers on "
-                     f"{pr['cores']} cores, "
-                     f"{pr['parallel_speedup']:.2f}x over 1 worker; a "
-                     "single gzip stream is serial to inflate, so this "
-                     "scales with host cores)"),
-            "vs_baseline": pr["bases_per_s"] / 1e9,
-        })
 
     _log("e2e...")
     # 8x the device-step size (~268 Mbase at defaults, a small bacterial WGS

@@ -711,3 +711,92 @@ def test_partition_cache_reused_across_pairs(rng):
         ni = len(np.intersect1d(sets[i], sets[j]))
         nu = len(np.union1d(sets[i], sets[j]))
         assert (r["intersect"], r["union"]) == (ni, nu), (i, j)
+
+
+def test_merge_received_runs_tag_interpret(rng):
+    """The PAYLOAD merge tree (round 5, sharded pulldown): (key, tag)
+    multiset of valid rows == the 3-key lax.sort of the same buffer; keys
+    fully sorted."""
+    import jax
+    import jax.numpy as jnp
+
+    from zotpu.dist.shuffle import merge_received_runs_tag
+    from zotpu.kernels.sort_pallas import TILE_E
+
+    D, cap, cap2 = 2, TILE_E, TILE_E
+
+    def sorted_run(n_valid, cap_r):
+        hi = rng.integers(0, 1 << 18, size=cap_r, dtype=np.uint32)
+        lo = rng.integers(0, 1 << 32, size=cap_r, dtype=np.uint32)
+        key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+        key.sort()
+        key[n_valid:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        tag = rng.integers(0, 1 << 20, size=cap_r, dtype=np.uint32)
+        tag[n_valid:] = 0                       # padding payload
+        return ((key >> np.uint64(32)).astype(np.uint32),
+                key.astype(np.uint32), tag, n_valid)
+
+    parts = [sorted_run(int(rng.integers(0, cap + 1)), cap)
+             for _ in range(D)]
+    parts += [sorted_run(int(rng.integers(0, cap2 // 4)), cap2)
+              for _ in range(D)]
+    rhi = jnp.asarray(np.concatenate([p[0] for p in parts]))
+    rlo = jnp.asarray(np.concatenate([p[1] for p in parts]))
+    rtag = jnp.asarray(np.concatenate([p[2] for p in parts]))
+    gh, gl, gt = merge_received_runs_tag(rhi, rlo, rtag, D, cap, cap2,
+                                         interpret=True)
+    wh, wl, wt = jax.lax.sort((rhi, rlo, rtag), num_keys=2)
+    assert np.array_equal(np.asarray(gh), np.asarray(wh))
+    assert np.array_equal(np.asarray(gl), np.asarray(wl))
+    # tags: exact multiset per key among VALID rows (ties may reorder
+    # within an equal-key segment; sentinel-row payload is padding)
+    valid = int(sum(p[3] for p in parts))
+    got = np.stack([np.asarray(gh)[:valid], np.asarray(gl)[:valid],
+                    np.asarray(gt)[:valid]])
+    want = np.stack([np.asarray(wh)[:valid], np.asarray(wl)[:valid],
+                     np.asarray(wt)[:valid]])
+    got = got[:, np.lexsort(got[::-1])]
+    want = want[:, np.lexsort(want[::-1])]
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("shard_hash", ["prefix", "mixed"])
+def test_pulldown_stream_join_matches_golden(mesh8, shard_hash):
+    """The round-5 streaming pulldown path (payload merge tree + merge-path
+    join, interpret=True on CPU) must match golden per-read hits exactly --
+    and the portable _join_xla path, which the same call WITHOUT interpret
+    takes on CPU."""
+    k = 21
+    D = 8
+    reads_per_chip, read_len = 8, 90
+    rng = np.random.default_rng(11)
+    panel_src = ["".join(rng.choice(list("ACGT"), size=400))]
+    panel_keys, _ = G.kmerize(k, panel_src)
+
+    R = D * reads_per_chip
+    seqs = []
+    for i in range(R):
+        if i % 3 == 0:
+            off = rng.integers(0, 400 - read_len)
+            seqs.append(panel_src[0][off:off + read_len])
+        else:
+            seqs.append("".join(rng.choice(list("ACGT"), size=read_len)))
+    codes = np.stack([G.encode(s) for s in seqs])
+    lengths = np.full(R, read_len, np.int32)
+
+    phi, plo, cap = shuffle.partition_panel(panel_keys, k, D,
+                                            shard_hash=shard_hash)
+    step = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
+                                      cap, capacity_factor=8.0,
+                                      shard_hash=shard_hash, interpret=True)
+    row_hits, overflow = step(codes, lengths, phi, plo)
+    assert np.all(np.asarray(overflow) == 0)
+    row_hits = np.asarray(row_hits).reshape(D, R)[0]
+    want_rows = G.scan_panel(k, panel_keys, seqs)
+    assert np.array_equal(row_hits, want_rows)
+
+    old = shuffle.make_pulldown_step(mesh8, k, reads_per_chip, read_len,
+                                     cap, capacity_factor=8.0,
+                                     shard_hash=shard_hash)
+    old_hits, _ = old(codes, lengths, phi, plo)
+    assert np.array_equal(np.asarray(old_hits).reshape(D, R)[0], want_rows)

@@ -294,15 +294,59 @@ def bench_scan_shard_model(n_reads: int = 1 << 17, read_len: int = 256,
     dt, dt_sync = _amortized_time(lambda: prog(pw, mw, lengths, phi, plo),
                                   fence, repeats=repeats)
     kmers = n_reads * (read_len - k + 1)
-    return {
+    out = {
         "workload": "scan_shard_model", "k": k, "panel": len(panel),
         "kmers_probed": kmers, "total_hits": total_hits,
         "t_sharded_step_s": dt, "t_single_sync_s": dt_sync,
         "kmers_per_s_chip": kmers / dt,
         "alltoall_bytes_per_chip": kmers * 12,   # (hi, lo, tag) u32 triple
-        "host8_kmers_per_s_at_0.8_eff": kmers / dt * 8 * 0.8,
-        "ici_gbps_needed_for_0.8_eff": kmers * 12 / (dt / 4) / 1e9,
     }
+    # Round 5: the streaming pulldown (payload merge tree + merge-path
+    # join) replaced the 3-key full re-sort; at D=1 the tree degenerates
+    # to zero passes, so the per-chip cost an 8-chip host pays for merging
+    # its 8 received probe runs is measured SEPARATELY at D=8 shapes on
+    # this chip (log2(8) payload streaming passes over the same probe
+    # volume, read-row ids riding) and added to the model -- the same
+    # honesty rule as the kmerize headline's receive-tree term.
+    t_tree8 = 0.0
+    try:
+        from zotpu.dist.shuffle import merge_received_runs_tag
+        from zotpu.kernels.dispatch import use_pallas
+        from zotpu.kernels.sort_pallas import TILE_E
+
+        if use_pallas():
+            D = 8
+            cap8 = -(-kmers // D // TILE_E) * TILE_E
+            h = np.sort(rng.integers(0, 1 << 50, size=D * cap8,
+                                     dtype=np.uint64).reshape(D, cap8),
+                        axis=1)
+            thi = jnp.asarray((h >> np.uint64(32)).astype(np.uint32)
+                              ).reshape(-1)
+            tlo = jnp.asarray(h.astype(np.uint32)).reshape(-1)
+            ttag = jnp.asarray(rng.integers(0, n_reads, size=D * cap8,
+                                            dtype=np.uint32))
+
+            @jax.jit
+            def tree(thi, tlo, ttag):
+                qh, ql, qt = merge_received_runs_tag(thi, tlo, ttag, D,
+                                                     cap8, 0)
+                return qh[0] + ql[-1] + qt[0]
+
+            def tree_fence(*a):
+                return int(np.asarray(tree(*a)))
+
+            tree_fence(thi, tlo, ttag)   # compile + warmup
+            t_tree8, _ = _amortized_time(
+                lambda: tree(thi, tlo, ttag),
+                lambda r: int(np.asarray(r)), repeats=repeats)
+            out["t_probe_tree8_s"] = t_tree8
+    except Exception:
+        pass   # model falls back to the D=1-only composition
+    t8 = dt + t_tree8
+    out["t_chip_model8_s"] = t8
+    out["host8_kmers_per_s_at_0.8_eff"] = kmers / t8 * 8 * 0.8
+    out["ici_gbps_needed_for_0.8_eff"] = kmers * 12 / (t8 / 4) / 1e9
+    return out
 
 
 def bench_setops_shard_model(n: int = 1 << 24, k: int = 25,

@@ -240,6 +240,56 @@ def _route(hi, lo, k: int, n_shards: int, capacity: int, payload=(),
     return recv, overflow, need2, landed
 
 
+def merge_received_runs_tag(rhi, rlo, rtag, n_shards: int, cap: int,
+                            cap2: int, interpret: bool = False):
+    """Receive-side merge tree WITH a u32 payload channel (round 5).
+
+    Same run layout as ``merge_received_runs`` but every run is ASCENDING
+    (the payload tree rides the round-2 streaming engine,
+    kernels/sort_pallas.stream_merge_pass_pallas, whose payload channels
+    are proven on the set-op and join paths; callers route with
+    ``reverse_odd=False``). Used by the sharded pulldown: the routed probe
+    k-mers carry their global read-row id, and merging the D received runs
+    costs log2(D) streaming passes instead of the 3-key full re-sort the
+    round-4 pulldown paid (~160 ms at 31M rows -- the sharded scan's
+    dominant term after the owner sort, docs/PERF_NOTES.md round 5).
+
+    2-key network note: received sentinel-KEY rows are bucket PADDING
+    whose payload is never consumed (a hit needs a valid key), so the
+    slack-tie hazard stream_merge_pair_pallas's num_keys=3 exists for
+    does not apply -- valid keys never tie window slack, and the (key,
+    payload) multiset of valid rows is exact.
+
+    Returns (hi, lo, tag) fully ascending-sorted by key.
+    """
+    from zotpu.kernels import sort_pallas as SP
+
+    h1 = rhi[:n_shards * cap]
+    l1 = rlo[:n_shards * cap]
+    t1 = rtag[:n_shards * cap]
+    run = cap
+    while run < n_shards * cap:
+        h1, l1, t1 = SP.stream_merge_pass_pallas(h1, l1, (t1,), run,
+                                                 interpret=interpret)
+        run *= 2
+    if cap2 == 0:
+        return h1, l1, t1
+    h2 = rhi[n_shards * cap:]
+    l2 = rlo[n_shards * cap:]
+    t2 = rtag[n_shards * cap:]
+    run = cap2
+    while run < n_shards * cap2:
+        h2, l2, t2 = SP.stream_merge_pass_pallas(h2, l2, (t2,), run,
+                                                 interpret=interpret)
+        run *= 2
+    h = jnp.concatenate([h1, h2])
+    l = jnp.concatenate([l1, l2])
+    t = jnp.concatenate([t1, t2])
+    h, l, t = SP.stream_merge_pair_pallas(h, l, (t,), nA=n_shards * cap,
+                                          interpret=interpret)
+    return h, l, t
+
+
 def merge_received_runs(rhi, rlo, n_shards: int, cap: int, cap2: int,
                         interpret: bool = False, dedup: bool = False):
     """Receive-side sort for PREFIX sharding: a streaming merge tree.
@@ -636,7 +686,8 @@ def gather_global(uhi, ulo, counts, n_unique, reorder: bool = False):
 
 def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
                        panel_cap: int, capacity_factor: float = 2.0,
-                       wire: bool = False, shard_hash: str = "prefix"):
+                       wire: bool = False, shard_hash: str = "prefix",
+                       interpret: bool = False):
     """Multi-chip panel pulldown (BASELINE config 5).
 
     ``wire=True``: input reads arrive in the 0.375 B/base wire form
@@ -660,7 +711,9 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
     (D, panel_cap). Output: row_hits (D*R,) int32 (replicated across the
     mesh), overflow (D,).
     """
-    from zotpu.kernels.join import _join_xla
+    from zotpu.kernels.join import (_join_pallas_star, _join_xla,
+                                    _rowsum_by_key, _rowsum_from_hit_tags,
+                                    _transform_keys)
 
     S.check_k(k)
     if shard_hash not in ("prefix", "mixed"):
@@ -672,6 +725,28 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
     cap = int(np.ceil(m_local * capacity_factor / D))
     cap2 = (cap + 3) // 4 if D > 1 else 0
     R_total = D * reads_per_chip
+    if R_total >= 1 << 30:
+        raise ValueError(f"{R_total} rows exceed the 2^30 row*2+hit key "
+                         f"budget; split the batch")
+    # Streaming join path (round 5): the routed probes arrive as D
+    # key-sorted runs (prefix sharding, or mixed with the owner EMBEDDED
+    # then stripped), so a payload merge tree (log2 D streaming passes,
+    # read-row ids riding as a channel) + ONE merge-path join against the
+    # shard's sorted panel replaces the 3-key full re-sort of
+    # panel+probes that dominated the round-4 sharded scan (~160 ms of
+    # the ~530 ms step at 30M probes on v5e, docs/PERF_NOTES.md round 5).
+    # Same gating rules as make_kmerize_step's tree; interpret=True
+    # forces it on CPU for tests.
+    from zotpu.kernels.dispatch import use_pallas
+    tree_order_ok = (shard_hash == "prefix"
+                     or _embed_bits(k, p_bits) is not None)
+    use_stream = (tree_order_ok and (D & (D - 1)) == 0
+                  and (use_pallas() or interpret))
+    if use_stream:
+        from zotpu.kernels.sort_pallas import TILE_E
+        cap = -(-cap // TILE_E) * TILE_E
+        if cap2:
+            cap2 = -(-cap2 // TILE_E) * TILE_E
 
     def body(codes, lengths, phi, plo):
         phi, plo = phi[0], plo[0]
@@ -692,24 +767,45 @@ def make_pulldown_step(mesh, k: int, reads_per_chip: int, read_len: int,
             hi, lo, rid = jax.lax.sort((hi, lo, rid), num_keys=2)
             (rhi, rlo, rrid), overflow, _need2, _landed = _route(
                 hi, lo, k, D, cap, payload=(rid,), capacity2=cap2)
-        # membership = sort-merge join vs this shard's panel range (the
-        # round-1 binary search gathered the panel per bisection step; see
-        # kernels/join.py). Tags are rid+1 (0 = panel row).
-        hit, tag = _join_xla(phi, plo, rhi, rlo, rrid + jnp.uint32(1))
-        cond = hit & (tag > 0)
-        # Per-read aggregation WITHOUT scatter (repo rule: XLA scatter runs
-        # at 0.03-0.13 Gelem/s on this core): sort the hit row ids (misses
-        # sink to the R_total bin) and take per-row occupancy from
-        # searchsorted bin edges -- kernels/join._rowsum_from_hit_tags's
-        # pattern at shard scale. u16 keys when they fit (0.33 vs 0.28
-        # Gkeys/s, kernels/join.py).
-        dt = jnp.uint16 if R_total + 1 < (1 << 16) else jnp.int32
-        t = jnp.where(cond, tag - jnp.uint32(1),
-                      jnp.uint32(R_total)).astype(dt)
-        (t,) = jax.lax.sort((t,), num_keys=1)
-        bins = jnp.arange(R_total + 1, dtype=dt)
-        edges = jnp.searchsorted(t, bins, side="left").astype(jnp.int32)
-        hits = jnp.diff(edges)
+        if use_stream:
+            # payload merge tree over the D received runs, then the same
+            # key*-transformed streaming merge join the single-chip scan
+            # uses (kernels/join): hit bit + sparse hit-tag compaction in
+            # the kernel epilogue. Received sentinel rows are bucket
+            # padding (tag 0, never a hit); the truncation fallback is the
+            # GENERIC bkey rowsum -- the dense reshape variant needs every
+            # row id exactly m_per_row times, false for routed streams.
+            from zotpu.kernels.sort_pallas import HIT_CAP
+            qhi, qlo, qtag = merge_received_runs_tag(
+                rhi, rlo, rrid, D, cap, cap2, interpret=interpret)
+            phi_s, plo_s = _transform_keys(phi, plo, is_probe=False)
+            qhi_s, qlo_s = _transform_keys(qhi, qlo, is_probe=True)
+            bkey, hit_tags, tile_hits = _join_pallas_star(
+                phi_s, plo_s, qhi_s, qlo_s, qtag, R_total,
+                interpret=interpret)
+            truncated = jnp.any(tile_hits > jnp.int32(HIT_CAP))
+            hits = jax.lax.cond(
+                truncated,
+                lambda _: _rowsum_by_key(bkey, R_total),
+                lambda _: _rowsum_from_hit_tags(hit_tags, R_total),
+                operand=None)
+        else:
+            # portable XLA path: concat + 3-key sort, tags are rid+1
+            # (0 = panel row)
+            hit, tag = _join_xla(phi, plo, rhi, rlo, rrid + jnp.uint32(1))
+            cond = hit & (tag > 0)
+            # Per-read aggregation WITHOUT scatter (repo rule: XLA scatter
+            # runs at 0.03-0.13 Gelem/s on this core): sort the hit row
+            # ids (misses sink to the R_total bin) and take per-row
+            # occupancy from searchsorted bin edges. u16 keys when they
+            # fit (0.33 vs 0.28 Gkeys/s, kernels/join.py).
+            dt = jnp.uint16 if R_total + 1 < (1 << 16) else jnp.int32
+            t = jnp.where(cond, tag - jnp.uint32(1),
+                          jnp.uint32(R_total)).astype(dt)
+            (t,) = jax.lax.sort((t,), num_keys=1)
+            bins = jnp.arange(R_total + 1, dtype=dt)
+            edges = jnp.searchsorted(t, bins, side="left").astype(jnp.int32)
+            hits = jnp.diff(edges)
         hits = jax.lax.psum(hits, AXIS)
         return hits[None], overflow[None]
 

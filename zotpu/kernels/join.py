@@ -105,6 +105,23 @@ def _rowsum_by_idx(bkey, n_rows: int, m_per_row: int):
     return hits.reshape(n_rows, m_per_row).sum(axis=1, dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _rowsum_by_key(bkey, n_rows: int):
+    """GENERIC per-row hit counts from bkey = min(tag, n_rows)*2 + hit:
+    one keys-only sort, then each row's hits are the span between the
+    searchsorted edges of row*2+1 and row*2+2. The dense _rowsum_by_idx
+    reshape needs every row id to appear exactly m_per_row times -- FALSE
+    for route-scattered probe streams (the sharded pulldown), whose
+    per-shard row populations are arbitrary. Used as that path's
+    hit-tag-truncation fallback; cost = one u32 sort of the probe
+    capacity."""
+    (s,) = jax.lax.sort((bkey,), num_keys=1)
+    bins = jnp.arange(n_rows, dtype=jnp.uint32)
+    left = jnp.searchsorted(s, bins * 2 + jnp.uint32(1), side="left")
+    right = jnp.searchsorted(s, bins * 2 + jnp.uint32(2), side="left")
+    return (right - left).astype(jnp.int32)
+
+
 def _hits_from_merged(hi, lo, tag):
     """Post-merge: per-row hit bits (TAG-contract path, used by the sharded
     pulldown in dist/shuffle.py). Rows sorted by (hi, lo); tag==0 marks

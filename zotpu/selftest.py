@@ -201,6 +201,22 @@ def run_selftest(k: int = 25, verbose_print=print,
               and np.array_equal(sc2, gu_c)
               and cards2["intersect"] == len(gi_k))
 
+        # streaming sharded pulldown (round 5): payload merge tree +
+        # merge-path join replaces the 3-key re-sort; at D=1 the tree
+        # degenerates but the whole stream path (route w/ rid payload,
+        # key* transform, _join_pallas_star, sparse hit-tag rowsum) runs
+        # on the live backend -- per-read hits must match golden exactly,
+        # INCLUDING the sentinel-heavy sample tail (invalid windows route
+        # as sentinel bucket padding with tag 0)
+        guard()
+        (stot, srwh, sper) = WP.pulldown_paths_sharded(
+            panel_keys, [fs], k, n_shards=D, batch_reads=256,
+            max_len=128)[0]
+        check("sharded_scan_stream_join",
+              np.array_equal(np.asarray(sper, np.int64), want)
+              and stot == int(want.sum()) and srwh == int((want > 0).sum()),
+              f"D={D}, {stot} hits")
+
         # chunk-streamed merge: container chunks -> DeviceAccumulator dense
         # level merges on the live backend (the cmd_merge path)
         guard()
