@@ -68,12 +68,17 @@ def use_merge_path(n_a: int, n_b: int) -> bool:
     return use_pallas() and max(n_a, n_b) >= TILE_E
 
 
-def set_op_auto(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge"):
+def set_op_auto(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op: str = "merge",
+                n_a=None, n_b=None):
     """Dispatch: FUSED merge+combine+compact Pallas kernel on TPU for
     tile-sized dense inputs (kernels/merge_fused.py), sort-based XLA
-    otherwise. Inputs must be dense (compacted)."""
+    otherwise. Inputs must be dense (compacted). ``n_a``/``n_b`` (traced
+    valid-prefix lengths, round 5) let the fused kernel skip pure-padding
+    tiles -- a real win for pow2-padded sets and skewed shard rows; the
+    sort-based fallback ignores them (byte-identical either way)."""
     from zotpu.kernels import setops as K
     if use_merge_path(hi_a.shape[0], hi_b.shape[0]):
         from zotpu.kernels.merge_fused import set_op_fused
-        return set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op)
+        return set_op_fused(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op,
+                            n_a=n_a, n_b=n_b)
     return K.set_op(hi_a, lo_a, c_a, hi_b, lo_b, c_b, op=op)

@@ -31,10 +31,14 @@ def set_op(a: tuple[np.ndarray, np.ndarray], b: tuple[np.ndarray, np.ndarray],
     Container inputs are dense, so this dispatches to the merge-path Pallas
     front-end on TPU (kernels/setops_merge.py) and the sort-based kernel
     elsewhere -- byte-identical outputs (tests/test_setops_merge.py)."""
+    import jax.numpy as jnp
+
     from zotpu.kernels.setops_merge import set_op_auto
     ahi, alo, ac = _pad_pow2(*a)
     bhi, blo, bc = _pad_pow2(*b)
-    hi, lo, c, n = set_op_auto(ahi, alo, ac, bhi, blo, bc, op=op)
+    hi, lo, c, n = set_op_auto(ahi, alo, ac, bhi, blo, bc, op=op,
+                               n_a=jnp.int32(len(a[0])),
+                               n_b=jnp.int32(len(b[0])))
     n = int(n)
     keys = S.join_hi_lo(np.asarray(hi[:n]), np.asarray(lo[:n]))
     return keys, np.asarray(c[:n])
@@ -165,9 +169,13 @@ def _sharded_setop_fn(op: str, n_shards: int):
     def local(ahi, alo, ac, bhi, blo, bc):
         ahi, alo, ac = ahi[0], alo[0], ac[0]
         bhi, blo, bc = bhi[0], blo[0], bc[0]
-        hi, lo, c, n = set_op_auto(ahi, alo, ac, bhi, blo, bc, op=op)
+        # valid counts feed BOTH the psum'd cardinalities and the fused
+        # kernel's dead-tile gate (shard rows share one pow2 cap, so the
+        # small shards of a skewed partition are mostly padding)
         na = jnp.sum((~((ahi == SENT) & (alo == SENT))).astype(jnp.int32))
         nb = jnp.sum((~((bhi == SENT) & (blo == SENT))).astype(jnp.int32))
+        hi, lo, c, n = set_op_auto(ahi, alo, ac, bhi, blo, bc, op=op,
+                                   n_a=na, n_b=nb)
         tot = jax.lax.psum(jnp.stack([na, nb, n.astype(jnp.int32)]), AXIS)
         return hi[None], lo[None], c[None], n[None].astype(jnp.int32), tot
 
